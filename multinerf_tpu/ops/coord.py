@@ -1,0 +1,173 @@
+"""Coordinate-space warps and ray-distance parameterizations.
+
+Functional parity with ``internal/coord.py`` of google-research/multinerf,
+with one deliberate TPU-first divergence: warping Gaussians through the
+scene contraction uses an *analytic* Jacobian (``contract_gaussian``) instead
+of ``jax.linearize`` + double ``vmap`` (reference coord.py:39-60).  The
+closed form is a handful of fused VPU ops per sample instead of a re-traced
+JVP pair, and is verified against the autodiff path in tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multinerf_tpu.ops import mathx
+
+_F32_EPS = float(jnp.finfo(jnp.float32).eps)
+
+
+def contract(x):
+  """mip-NeRF 360 scene contraction (Eq 10 of arxiv.org/abs/2111.12077).
+
+  Identity inside the unit ball; maps all of space into radius-2 ball.
+  """
+  # Clamping to eps keeps gradients finite at x == 0.
+  r_sq = jnp.maximum(_F32_EPS, jnp.sum(x**2, axis=-1, keepdims=True))
+  scale = (2 * jnp.sqrt(r_sq) - 1) / r_sq
+  return jnp.where(r_sq <= 1, x, scale * x)
+
+
+def inv_contract(z):
+  """Inverse of contract()."""
+  r_sq = jnp.maximum(_F32_EPS, jnp.sum(z**2, axis=-1, keepdims=True))
+  return jnp.where(r_sq <= 1, z, z / (2 * jnp.sqrt(r_sq) - r_sq))
+
+
+def contract_gaussian(mean, cov):
+  """Analytically warp Gaussians (mean, cov) through contract().
+
+  For r > 1, contract(x) = g(r) x with g = (2r - 1)/r^2, whose Jacobian is
+  J = g I + c x x^T with c = (2 - 2r)/r^4.  Then cov' = J cov J^T expands to
+      g^2 cov + g c (x m^T + m x^T) + c^2 (x^T cov x) x x^T,  m = cov x,
+  all cheap batched VPU ops — no linearization pass (cf. reference
+  coord.py:39-60 which traces fn twice through vmapped JVPs).
+
+  Args:
+    mean: [..., 3] Gaussian means.
+    cov:  [..., 3, 3] full covariance matrices.
+
+  Returns:
+    (contract(mean), warped covariance [..., 3, 3]).
+  """
+  r_sq = jnp.maximum(_F32_EPS, jnp.sum(mean**2, axis=-1, keepdims=True))
+  r = jnp.sqrt(r_sq)
+  g = (2 * r - 1) / r_sq
+  c = (2 - 2 * r) / (r_sq * r_sq)
+
+  inside = r_sq <= 1
+  new_mean = jnp.where(inside, mean, g * mean)
+
+  m = jnp.einsum('...ij,...j->...i', cov, mean)   # cov @ x
+  xcx = jnp.sum(mean * m, axis=-1)                # x^T cov x
+  outer_xm = mean[..., :, None] * m[..., None, :]
+  outer_xx = mean[..., :, None] * mean[..., None, :]
+  g_ = g[..., None]
+  c_ = c[..., None]
+  new_cov = (g_**2 * cov
+             + g_ * c_ * (outer_xm + jnp.swapaxes(outer_xm, -1, -2))
+             + c_**2 * xcx[..., None, None] * outer_xx)
+  new_cov = jnp.where(inside[..., None], cov, new_cov)
+  return new_mean, new_cov
+
+
+def track_linearize(fn, mean, cov):
+  """Warp Gaussians through fn by linearizing around each mean.
+
+  Cov[f(x)] ~= J cov J^T with J the Jacobian of fn at mean.  Dispatches to
+  the analytic fast path for the scene contraction; arbitrary warps fall
+  back to ``jax.linearize`` with the JVP vmapped over covariance columns.
+  """
+  if (len(mean.shape) + 1) != len(cov.shape):
+    raise ValueError('cov must be a full (non-diagonal) covariance.')
+  if fn is contract:
+    return contract_gaussian(mean, cov)
+  fn_mean, lin = jax.linearize(fn, mean)
+  fn_cov = jax.vmap(lin, -1, -2)(jax.vmap(lin, -1, -2)(cov))
+  return fn_mean, fn_cov
+
+
+def construct_ray_warps(fn, t_near, t_far):
+  """Bijection between metric ray distance t and normalized distance s.
+
+  s = (fwd(t) - fwd(near)) / (fwd(far) - fwd(near)) for a monotone curve
+  `fwd` (see text near Eq 11 of arxiv.org/abs/2111.12077).
+
+  Args:
+    fn: None (identity), the string 'piecewise', or a curve function with a
+      recognized inverse (jnp.reciprocal/log/exp/sqrt/square).
+    t_near, t_far: near/far plane distances (broadcastable tensors).
+
+  Returns:
+    (t_to_s, s_to_t) function pair.
+  """
+  if fn is None:
+    fwd, inv = (lambda x: x), (lambda x: x)
+  elif fn == 'piecewise':
+    # Identity near the camera, 1/x far away; allows t_near == 0.
+    fwd = lambda x: jnp.where(x < 1, 0.5 * x, 1 - 0.5 / x)
+    inv = lambda x: jnp.where(x < 0.5, 2 * x, 0.5 / (1 - x))
+  else:
+    inverses = {
+        'reciprocal': jnp.reciprocal,
+        'log': jnp.exp,
+        'exp': jnp.log,
+        'sqrt': jnp.square,
+        'square': jnp.sqrt,
+    }
+    fwd = fn
+    inv = inverses[fn.__name__]
+
+  s_near, s_far = fwd(t_near), fwd(t_far)
+  t_to_s = lambda t: (fwd(t) - s_near) / (s_far - s_near)
+  s_to_t = lambda s: inv(s * s_far + (1 - s) * s_near)
+  return t_to_s, s_to_t
+
+
+def expected_sin(mean, var):
+  """E[sin(x)] for x ~ N(mean, var)."""
+  return jnp.exp(-0.5 * var) * mathx.safe_sin(mean)
+
+
+def integrated_pos_enc(mean, var, min_deg, max_deg):
+  """Integrated positional encoding (mip-NeRF Eq 14).
+
+  Encodes each coordinate with sin at scales 2^[min_deg, max_deg), attenuated
+  by the Gaussian's variance at that scale; the cos half is sin shifted by
+  pi/2 so one fused expected_sin covers both.
+
+  Args:
+    mean: [..., d] coordinate means.
+    var:  [..., d] per-coordinate variances (diagonalized).
+    min_deg, max_deg: frequency band [2^min_deg, 2^max_deg).
+
+  Returns:
+    [..., 2 * d * (max_deg - min_deg)] features.
+  """
+  scales = 2.0 ** jnp.arange(min_deg, max_deg)
+  shape = mean.shape[:-1] + (-1,)
+  sm = jnp.reshape(mean[..., None, :] * scales[:, None], shape)
+  sv = jnp.reshape(var[..., None, :] * scales[:, None] ** 2, shape)
+  return expected_sin(
+      jnp.concatenate([sm, sm + 0.5 * jnp.pi], axis=-1),
+      jnp.concatenate([sv, sv], axis=-1))
+
+
+def lift_and_diagonalize(mean, cov, basis):
+  """Project (mean, cov) onto `basis` columns, keeping only diag variances."""
+  lifted_mean = mathx.matmul_hp(mean, basis)
+  lifted_var = jnp.sum(basis * mathx.matmul_hp(cov, basis), axis=-2)
+  return lifted_mean, lifted_var
+
+
+def pos_enc(x, min_deg, max_deg, append_identity=True):
+  """Classic NeRF positional encoding (no integration)."""
+  scales = 2.0 ** jnp.arange(min_deg, max_deg)
+  shape = x.shape[:-1] + (-1,)
+  sx = jnp.reshape(x[..., None, :] * scales[:, None], shape)
+  # Unlike IPE this uses raw sin: inputs here are bounded (unit directions).
+  feats = jnp.sin(jnp.concatenate([sx, sx + 0.5 * jnp.pi], axis=-1))
+  if append_identity:
+    return jnp.concatenate([x, feats], axis=-1)
+  return feats

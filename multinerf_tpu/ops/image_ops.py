@@ -1,0 +1,188 @@
+"""Image transforms and quality metrics (PSNR / SSIM / color correction).
+
+Functional parity with ``internal/image.py`` of google-research/multinerf.
+SSIM is implemented in-repo (the reference wraps dm_pix.ssim, image.py:131)
+with the standard Wang et al. settings — 11x11 Gaussian window, sigma 1.5,
+k1=0.01, k2=0.03, VALID padding — matching tf.image.ssim / dm_pix defaults.
+"""
+
+from __future__ import annotations
+
+import types
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_Array = Union[np.ndarray, jnp.ndarray]
+
+
+def mse_to_psnr(mse):
+  """PSNR for a given MSE, assuming max pixel value 1."""
+  return -10.0 / jnp.log(10.0) * jnp.log(mse)
+
+
+def psnr_to_mse(psnr):
+  """MSE for a given PSNR, assuming max pixel value 1."""
+  return jnp.exp(-0.1 * jnp.log(10.0) * psnr)
+
+
+def ssim_to_dssim(ssim):
+  """Structural dissimilarity from SSIM."""
+  return (1 - ssim) / 2
+
+
+def dssim_to_ssim(dssim):
+  """SSIM from structural dissimilarity."""
+  return 1 - 2 * dssim
+
+
+def linear_to_srgb(linear: _Array, eps: Optional[float] = None,
+                   xnp: types.ModuleType = jnp) -> _Array:
+  """sRGB OETF; assumes linear in [0, 1] (https://en.wikipedia.org/wiki/SRGB)."""
+  if eps is None:
+    eps = xnp.finfo(xnp.float32).eps
+  srgb0 = 323 / 25 * linear
+  srgb1 = (211 * xnp.maximum(eps, linear)**(5 / 12) - 11) / 200
+  return xnp.where(linear <= 0.0031308, srgb0, srgb1)
+
+
+def srgb_to_linear(srgb: _Array, eps: Optional[float] = None,
+                   xnp: types.ModuleType = jnp) -> _Array:
+  """Inverse sRGB OETF; assumes srgb in [0, 1]."""
+  if eps is None:
+    eps = xnp.finfo(xnp.float32).eps
+  linear0 = 25 / 323 * srgb
+  linear1 = xnp.maximum(eps, (200 * srgb + 11) / 211)**(12 / 5)
+  return xnp.where(srgb <= 0.04045, linear0, linear1)
+
+
+def downsample(img, factor):
+  """Area downsample; factor must evenly divide the image height and width."""
+  sh = img.shape
+  if not (sh[0] % factor == 0 and sh[1] % factor == 0):
+    raise ValueError(
+        f'Downsampling factor {factor} does not evenly divide image '
+        f'shape {sh[:2]}')
+  img = img.reshape(
+      (sh[0] // factor, factor, sh[1] // factor, factor) + sh[2:])
+  return img.mean((1, 3))
+
+
+def color_correct(img, ref, num_iters=5, eps=0.5 / 255):
+  """Fit a per-channel quadratic color transform warping img toward ref.
+
+  Saturated pixels are masked out of the least-squares fit; because the
+  saturation set changes as the fit improves, the solve is iterated.
+  The lstsq itself runs in numpy (host) for stability, matching the
+  reference (image.py:114-116).
+  """
+  if img.shape[-1] != ref.shape[-1]:
+    raise ValueError(
+        f"img's {img.shape[-1]} and ref's {ref.shape[-1]} channels must match")
+  num_channels = img.shape[-1]
+  img_mat = img.reshape([-1, num_channels])
+  ref_mat = ref.reshape([-1, num_channels])
+  is_unclipped = lambda z: (z >= eps) & (z <= (1 - eps))
+  mask0 = is_unclipped(img_mat)
+  for _ in range(num_iters):
+    # Quadratic expansion of each pixel: upper-triangular channel products,
+    # then the linear terms, then a bias.
+    a_mat = []
+    for c in range(num_channels):
+      a_mat.append(img_mat[:, c:(c + 1)] * img_mat[:, c:])
+    a_mat.append(img_mat)
+    a_mat.append(jnp.ones_like(img_mat[:, :1]))
+    a_mat = jnp.concatenate(a_mat, axis=-1)
+    warp = []
+    for c in range(num_channels):
+      b = ref_mat[:, c]
+      mask = mask0[:, c] & is_unclipped(img_mat[:, c]) & is_unclipped(b)
+      ma_mat = jnp.where(mask[:, None], a_mat, 0)
+      mb = jnp.where(mask, b, 0)
+      w = np.linalg.lstsq(ma_mat, mb, rcond=-1)[0]
+      assert jnp.all(jnp.isfinite(w))
+      warp.append(w)
+    warp = jnp.stack(warp, axis=-1)
+    img_mat = jnp.clip(
+        jnp.matmul(a_mat, warp, precision=jax.lax.Precision.HIGHEST), 0, 1)
+  return jnp.reshape(img_mat, img.shape)
+
+
+def _gaussian_kernel1d(filter_size: int, filter_sigma: float) -> jnp.ndarray:
+  """Normalized 1D Gaussian window."""
+  offsets = jnp.arange(filter_size, dtype=jnp.float32) - (filter_size - 1) / 2
+  g = jnp.exp(-0.5 * (offsets / filter_sigma)**2)
+  return g / jnp.sum(g)
+
+
+def _filter2d(img, kernel1d):
+  """Separable VALID 2D filtering of an [H, W, C] (or [H, W]) image."""
+  squeeze = img.ndim == 2
+  if squeeze:
+    img = img[..., None]
+  # [H, W, C] -> depthwise conv via feature_group_count.
+  hwc = img[None]  # [1, H, W, C]
+  c = hwc.shape[-1]
+  kh = jnp.tile(kernel1d[:, None, None, None], (1, 1, 1, c))  # [K,1,1,C]
+  kw = jnp.tile(kernel1d[None, :, None, None], (1, 1, 1, c))  # [1,K,1,C]
+  dn = jax.lax.conv_dimension_numbers(hwc.shape, kh.shape,
+                                      ('NHWC', 'HWIO', 'NHWC'))
+  # HIGHEST precision: TPU convs default to bf16 passes, which visibly
+  # biases the variance terms (E[x^2] - mu^2) in SSIM.
+  out = jax.lax.conv_general_dilated(
+      hwc, kh, (1, 1), 'VALID', dimension_numbers=dn, feature_group_count=c,
+      precision=jax.lax.Precision.HIGHEST)
+  out = jax.lax.conv_general_dilated(
+      out, kw, (1, 1), 'VALID', dimension_numbers=dn, feature_group_count=c,
+      precision=jax.lax.Precision.HIGHEST)
+  out = out[0]
+  return out[..., 0] if squeeze else out
+
+
+def ssim(img0, img1, max_val=1.0, filter_size=11, filter_sigma=1.5,
+         k1=0.01, k2=0.03, return_map=False):
+  """Structural similarity (Wang et al. 2004) between two images.
+
+  Args:
+    img0, img1: [H, W, C] or [H, W] images in [0, max_val].
+    max_val: dynamic range of the inputs.
+    filter_size, filter_sigma: Gaussian window parameters.
+    k1, k2: stabilization constants.
+    return_map: return the per-pixel SSIM map instead of its mean.
+
+  Returns:
+    Scalar mean SSIM (or the SSIM map over the VALID region).
+  """
+  img0 = jnp.asarray(img0, jnp.float32)
+  img1 = jnp.asarray(img1, jnp.float32)
+  kernel = _gaussian_kernel1d(filter_size, filter_sigma)
+
+  mu0 = _filter2d(img0, kernel)
+  mu1 = _filter2d(img1, kernel)
+  mu00 = mu0 * mu0
+  mu11 = mu1 * mu1
+  mu01 = mu0 * mu1
+  sigma00 = _filter2d(img0 * img0, kernel) - mu00
+  sigma11 = _filter2d(img1 * img1, kernel) - mu11
+  sigma01 = _filter2d(img0 * img1, kernel) - mu01
+
+  c1 = (k1 * max_val)**2
+  c2 = (k2 * max_val)**2
+  numer = (2 * mu01 + c1) * (2 * sigma01 + c2)
+  denom = (mu00 + mu11 + c1) * (sigma00 + sigma11 + c2)
+  ssim_map = numer / denom
+  return ssim_map if return_map else jnp.mean(ssim_map)
+
+
+class MetricHarness:
+  """Evaluates PSNR and SSIM between a predicted and ground-truth image."""
+
+  def __init__(self):
+    self.ssim_fn = jax.jit(ssim)
+
+  def __call__(self, rgb_pred, rgb_gt, name_fn=lambda s: s):
+    psnr = float(mse_to_psnr(((rgb_pred - rgb_gt)**2).mean()))
+    ssim_val = float(self.ssim_fn(rgb_pred, rgb_gt))
+    return {name_fn('psnr'): psnr, name_fn('ssim'): ssim_val}

@@ -1,0 +1,236 @@
+"""Step-function (piecewise-constant 1D function) algebra.
+
+This module is the numeric heart of hierarchical sampling: proposal-to-NeRF
+resampling, the interlevel (proposal) loss, and the distortion loss are all
+operations on step functions.  Semantics follow the reference
+(``internal/stepfun.py`` in google-research/multinerf), including its domain
+conventions (stepfun.py:15-23):
+
+* ``t``: x-coordinates of the *endpoints* of a step function, sorted,
+  shape [..., n+1].
+* ``w``: bin weights summing to <= 1, shape [..., n].
+* ``p``: bin densities integrating to <= 1.
+
+All interval lookups are gather-free (brute-force masked reductions), which
+is the TPU-fast formulation (cf. stepfun.py:30-53 / math.py:108-127); a fused
+Pallas resampling kernel lives in ``ops/pallas/resample.py`` and is verified
+against ``sample_intervals`` here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from multinerf_tpu.ops import mathx
+
+_F32_EPS = float(jnp.finfo(jnp.float32).eps)
+
+
+def searchsorted(a, v):
+  """Bracketing indices of `v` in sorted `a`, without gathers.
+
+  Args:
+    a: [..., n] sorted reference fenceposts.
+    v: [..., m] query points (need not be sorted).
+
+  Returns:
+    (idx_lo, idx_hi) with a[idx_lo] <= v < a[idx_hi]; queries outside
+    [a[0], a[-1]] clamp both indices to the first/last position.
+  """
+  i = jnp.arange(a.shape[-1])
+  ge = v[..., None, :] >= a[..., :, None]  # [..., n, m]
+  idx_lo = jnp.max(jnp.where(ge, i[:, None], i[:1, None]), axis=-2)
+  idx_hi = jnp.min(jnp.where(ge, i[-1:, None], i[:, None]), axis=-2)
+  return idx_lo, idx_hi
+
+
+def query(tq, t, y, outside_value=0):
+  """Evaluate the step function (t, y) at points tq."""
+  idx_lo, idx_hi = searchsorted(t, tq)
+  y_at = jnp.take_along_axis(y, idx_lo, axis=-1)
+  return jnp.where(idx_lo == idx_hi, outside_value, y_at)
+
+
+def inner_outer(t0, t1, y1):
+  """Lower/upper bounds on mass of (t1, y1) falling in each bin of t0.
+
+  ``outer`` counts every source bin that *touches* a query bin; ``inner``
+  only those strictly contained.  Used by the proposal loss.
+  """
+  cy1 = jnp.concatenate(
+      [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
+  idx_lo, idx_hi = searchsorted(t1, t0)
+
+  cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
+  cy1_hi = jnp.take_along_axis(cy1, idx_hi, axis=-1)
+
+  y0_outer = cy1_hi[..., 1:] - cy1_lo[..., :-1]
+  y0_inner = jnp.where(idx_hi[..., :-1] <= idx_lo[..., 1:],
+                       cy1_lo[..., 1:] - cy1_hi[..., :-1], 0)
+  return y0_inner, y0_outer
+
+
+def lossfun_outer(t, w, t_env, w_env, eps=_F32_EPS):
+  """Proposal loss: penalize NeRF mass exceeding the proposal upper envelope.
+
+  Half-quadratic in (w - w_outer), scaled by 1/w to give a constant gradient
+  as w_outer -> 0 (reference stepfun.py:80-87).
+  """
+  _, w_outer = inner_outer(t, t_env, w_env)
+  return jnp.maximum(0, w - w_outer) ** 2 / (w + eps)
+
+
+def weight_to_pdf(t, w, eps=_F32_EPS**2):
+  """Weights (sum<=1) -> densities (integral<=1) over bins of t."""
+  return w / jnp.maximum(eps, t[..., 1:] - t[..., :-1])
+
+
+def pdf_to_weight(t, p):
+  """Densities -> weights over bins of t."""
+  return p * (t[..., 1:] - t[..., :-1])
+
+
+def max_dilate(t, w, dilation, domain=(-jnp.inf, jnp.inf)):
+  """Max-pool dilate a non-negative step function by +-dilation."""
+  t0 = t[..., :-1] - dilation
+  t1 = t[..., 1:] + dilation
+  t_d = jnp.sort(jnp.concatenate([t, t0, t1], axis=-1), axis=-1)
+  t_d = jnp.clip(t_d, *domain)
+  # New bin value = max over all dilated source bins covering its left edge.
+  covers = ((t0[..., None, :] <= t_d[..., None]) &
+            (t1[..., None, :] > t_d[..., None]))
+  w_d = jnp.max(jnp.where(covers, w[..., None, :], 0), axis=-1)[..., :-1]
+  return t_d, w_d
+
+
+def max_dilate_weights(t, w, dilation, domain=(-jnp.inf, jnp.inf),
+                       renormalize=False, eps=_F32_EPS**2):
+  """Dilate weights in *density* space so wide bins don't dominate."""
+  p = weight_to_pdf(t, w)
+  t_d, p_d = max_dilate(t, p, dilation, domain=domain)
+  w_d = pdf_to_weight(t_d, p_d)
+  if renormalize:
+    w_d /= jnp.maximum(eps, jnp.sum(w_d, axis=-1, keepdims=True))
+  return t_d, w_d
+
+
+def integrate_weights(w):
+  """CDF fenceposts of w: starts at exactly 0, ends at exactly 1.
+
+  Assumes each weight vector sums to 1 (silently wrong otherwise), matching
+  the reference contract (stepfun.py:131-150).
+  """
+  cw = jnp.minimum(1, jnp.cumsum(w[..., :-1], axis=-1))
+  pad = jnp.zeros(cw.shape[:-1] + (1,), dtype=cw.dtype)
+  return jnp.concatenate([pad, cw, jnp.ones_like(pad)], axis=-1)
+
+
+def invert_cdf(u, t, w_logits, use_gpu_resampling=False):
+  """Inverse-CDF lookup of the step fn (t, softmax(w_logits)) at u in [0,1)."""
+  w = jax.nn.softmax(w_logits, axis=-1)
+  cw = integrate_weights(w)
+  interp = mathx.interp_gather if use_gpu_resampling else mathx.interp_sorted
+  return interp(u, cw, t)
+
+
+def sample(rng, t, w_logits, num_samples, single_jitter=False,
+           deterministic_center=False, use_gpu_resampling=False):
+  """Stratified inverse-CDF sampling from a step function.
+
+  Jitter conventions match the reference exactly (stepfun.py:191-210): with
+  an rng, strata are jittered within [0, max_jitter) either per-sample or
+  once per ray (single_jitter); without, a linspace over [0, 1-eps] (or the
+  strata centers when deterministic_center).
+  """
+  eps = _F32_EPS
+  if rng is None:
+    if deterministic_center:
+      pad = 1 / (2 * num_samples)
+      u = jnp.linspace(pad, 1.0 - pad - eps, num_samples)
+    else:
+      u = jnp.linspace(0, 1.0 - eps, num_samples)
+    u = jnp.broadcast_to(u, t.shape[:-1] + (num_samples,))
+  else:
+    u_max = eps + (1 - eps) / num_samples
+    max_jitter = (1 - u_max) / (num_samples - 1) - eps
+    d = 1 if single_jitter else num_samples
+    u = (jnp.linspace(0, 1 - u_max, num_samples) +
+         jax.random.uniform(rng, t.shape[:-1] + (d,), maxval=max_jitter))
+  return invert_cdf(u, t, w_logits, use_gpu_resampling=use_gpu_resampling)
+
+
+def sample_intervals(rng, t, w_logits, num_samples, single_jitter=False,
+                     domain=(-jnp.inf, jnp.inf), use_gpu_resampling=False):
+  """Sample `num_samples` *intervals* (fenceposts) from a step function.
+
+  Samples interval centers, then spans midpoints between adjacent centers;
+  the first/last fencepost reflects the adjacent midpoint around its center,
+  clamped to `domain` (reference stepfun.py:214-263).
+
+  Returns [..., num_samples + 1] sorted fenceposts.
+  """
+  if num_samples <= 1:
+    raise ValueError(f'num_samples must be > 1, got {num_samples}.')
+  centers = sample(rng, t, w_logits, num_samples, single_jitter,
+                   deterministic_center=True,
+                   use_gpu_resampling=use_gpu_resampling)
+  mid = 0.5 * (centers[..., 1:] + centers[..., :-1])
+  minval, maxval = domain
+  first = jnp.maximum(minval, 2 * centers[..., :1] - mid[..., :1])
+  last = jnp.minimum(maxval, 2 * centers[..., -1:] - mid[..., -1:])
+  return jnp.concatenate([first, mid, last], axis=-1)
+
+
+def lossfun_distortion(t, w):
+  """Distortion loss: iint w_i w_j |t_i - t_j| di dj (mip-NeRF 360 Eq 15)."""
+  mids = 0.5 * (t[..., 1:] + t[..., :-1])
+  # Pairwise inter-bin term; the |mid_i - mid_j| matrix stays on the VPU.
+  dmids = jnp.abs(mids[..., :, None] - mids[..., None, :])
+  loss_inter = jnp.sum(w * jnp.sum(w[..., None, :] * dmids, axis=-1), axis=-1)
+  # Intra-bin self-term has a closed form: w^2 * width / 3.
+  loss_intra = jnp.sum(w**2 * (t[..., 1:] - t[..., :-1]), axis=-1) / 3
+  return loss_inter + loss_intra
+
+
+def interval_distortion(t0_lo, t0_hi, t1_lo, t1_hi):
+  """E|x - y| for x~U[t0_lo,t0_hi], y~U[t1_lo,t1_hi] (closed form)."""
+  d_disjoint = jnp.abs((t1_lo + t1_hi) / 2 - (t0_lo + t0_hi) / 2)
+  d_overlap = (
+      2 * (jnp.minimum(t0_hi, t1_hi)**3 - jnp.maximum(t0_lo, t1_lo)**3) +
+      3 * (t1_hi * t0_hi * jnp.abs(t1_hi - t0_hi) +
+           t1_lo * t0_lo * jnp.abs(t1_lo - t0_lo) +
+           t1_hi * t0_lo * (t0_lo - t1_hi) +
+           t1_lo * t0_hi * (t1_lo - t0_hi))
+  ) / (6 * (t0_hi - t0_lo) * (t1_hi - t1_lo))
+  are_disjoint = (t0_lo > t1_hi) | (t1_lo > t0_hi)
+  return jnp.where(are_disjoint, d_disjoint, d_overlap)
+
+
+def weighted_percentile(t, w, ps):
+  """Percentiles of the step fn (t, w); w must sum to 1 along the last axis."""
+  cw = integrate_weights(w)
+  fn = lambda cw_i, t_i: jnp.interp(jnp.array(ps) / 100, cw_i, t_i)
+  cw_mat = cw.reshape([-1, cw.shape[-1]])
+  t_mat = t.reshape([-1, t.shape[-1]])
+  out = jax.vmap(fn)(cw_mat, t_mat)
+  return out.reshape(cw.shape[:-1] + (len(ps),))
+
+
+def resample(t, tp, vp, use_avg=False, eps=_F32_EPS):
+  """Re-bin the step function (tp, vp) onto new fenceposts t (by summation).
+
+  With use_avg=True returns the width-weighted average instead of the sum.
+  """
+  if use_avg:
+    wp = jnp.diff(tp, axis=-1)
+    v_numer = resample(t, tp, vp * wp, use_avg=False)
+    v_denom = resample(t, tp, wp, use_avg=False)
+    return v_numer / jnp.maximum(eps, v_denom)
+
+  acc0 = jnp.concatenate(
+      [jnp.zeros(vp.shape[:-1] + (1,)), jnp.cumsum(vp, axis=-1)], axis=-1)
+  acc0_rs = jnp.vectorize(jnp.interp, signature='(n),(m),(m)->(n)')(t, tp, acc0)
+  return jnp.diff(acc0_rs, axis=-1)
