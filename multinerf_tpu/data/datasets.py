@@ -1,0 +1,715 @@
+"""Dataset engine: threaded host-side prefetching plus per-format loaders.
+
+Capability parity with ``internal/datasets.py`` of google-research/multinerf:
+a daemon producer thread feeding a bounded queue, random patch/ray batch
+sampling, full-image test batches, and loaders for Blender (transforms.json),
+LLFF/COLMAP (mip-NeRF 360 scenes), Tanks&Temples (NeRF++ and FVS layouts),
+and DTU.  The DTU loader here is actually functional — the reference's
+references nonexistent config fields (datasets.py:851,903) and cannot run.
+
+Differences from the reference:
+
+* Batches stay host-side numpy; device placement is the training loop's job
+  (``parallel.shard_batch_to_global`` onto the global mesh) instead of
+  ``utils.shard``-for-pmap (reference datasets.py:342).
+* COLMAP parsing uses the in-repo ``data.colmap`` reader, not a vendored
+  pycolmap clone.
+* A ``dummy`` loader provides a synthetic scene for tests and benches.
+"""
+
+from __future__ import annotations
+
+import abc
+import copy
+import json
+import os
+import queue
+import threading
+from typing import Optional, Union
+
+import jax
+import numpy as np
+
+from multinerf_tpu.data import cameras as camera_lib
+from multinerf_tpu.data import colmap
+from multinerf_tpu.data import types
+from multinerf_tpu.ops import image_ops
+from multinerf_tpu.utils import io as io_lib
+
+
+def load_dataset(split, train_dir, config):
+  """Load a split of a dataset using config.dataset_loader."""
+  dataset_dict = {
+      'blender': Blender,
+      'llff': LLFF,
+      'tat_nerfpp': TanksAndTemplesNerfPP,
+      'tat_fvs': TanksAndTemplesFVS,
+      'dtu': DTU,
+      'dummy': Dummy,
+  }
+  return dataset_dict[config.dataset_loader](split, train_dir, config)
+
+
+def load_blender_posedata(data_dir, split=None):
+  """Parse a Blender/NGP transforms.json into poses + intrinsics."""
+  suffix = '' if split is None else f'_{split}'
+  pose_file = os.path.join(data_dir, f'transforms{suffix}.json')
+  with open(pose_file, 'r') as fp:
+    meta = json.load(fp)
+  names = []
+  poses = []
+  for frame in meta['frames']:
+    filepath = os.path.join(data_dir, frame['file_path'])
+    if os.path.exists(filepath):
+      names.append(frame['file_path'].split('/')[-1])
+      poses.append(np.array(frame['transform_matrix'], dtype=np.float32))
+  poses = np.stack(poses, axis=0)
+
+  w = meta['w']
+  h = meta['h']
+  cx = meta.get('cx', w / 2.0)
+  cy = meta.get('cy', h / 2.0)
+  if 'fl_x' in meta:
+    fx = meta['fl_x']
+  else:
+    fx = 0.5 * w / np.tan(0.5 * float(meta['camera_angle_x']))
+  if 'fl_y' in meta:
+    fy = meta['fl_y']
+  else:
+    fy = 0.5 * h / np.tan(0.5 * float(meta['camera_angle_y']))
+  pixtocam = np.linalg.inv(camera_lib.intrinsic_matrix(fx, fy, cx, cy))
+  coeffs = ['k1', 'k2', 'p1', 'p2']
+  if not any(c in meta for c in coeffs):
+    params = None
+  else:
+    params = {c: meta.get(c, 0.0) for c in coeffs}
+  camtype = camera_lib.ProjectionType.PERSPECTIVE
+  return names, poses, pixtocam, params, camtype
+
+
+class Dataset(threading.Thread, metaclass=abc.ABCMeta):
+  """Threaded batch producer.
+
+  Subclasses implement ``_load_renderings`` to populate images and cameras;
+  the base class then serves infinite train batches (random rays/patches) or
+  test batches (full images) from a daemon thread through a bounded queue,
+  so batch assembly overlaps device compute.
+  """
+
+  def __init__(self, split: str, data_dir: str, config):
+    super().__init__()
+
+    self._queue = queue.Queue(3)  # Prefetch buffer of 3 batches.
+    self.daemon = True
+    self._patch_size = max(config.patch_size, 1)
+    self._batch_size = config.batch_size // jax.process_count()
+    if self._patch_size**2 > self._batch_size:
+      raise ValueError(f'Patch size {self._patch_size}^2 too large for '
+                       f'per-process batch size {self._batch_size}')
+    self._batching = types.BatchingMethod(config.batching)
+    self._use_tiffs = config.use_tiffs
+    self._load_disps = config.compute_disp_metrics
+    self._load_normals = config.compute_normal_metrics
+    self._test_camera_idx = 0
+    self._num_border_pixels_to_mask = config.num_border_pixels_to_mask
+    self._apply_bayer_mask = config.apply_bayer_mask
+    self._cast_rays_in_train_step = config.cast_rays_in_train_step
+    self._render_spherical = False
+
+    self.split = types.DataSplit(split)
+    self.data_dir = data_dir
+    self.near = config.near
+    self.far = config.far
+    self.render_path = config.render_path
+    self.distortion_params = None
+    self.disp_images = None
+    self.normal_images = None
+    self.alphas = None
+    self.poses = None
+    self.pixtocam_ndc = None
+    self.metadata = None
+    self.camtype = camera_lib.ProjectionType.PERSPECTIVE
+    self.exposures = None
+    self.render_exposures = None
+
+    # Set by _load_renderings:
+    self.images: np.ndarray = None
+    self.camtoworlds: np.ndarray = None
+    self.pixtocams: np.ndarray = None
+    self.height: int = None
+    self.width: int = None
+
+    self._load_renderings(config)
+
+    if self.render_path:
+      if config.render_path_file is not None:
+        with open(config.render_path_file, 'rb') as fp:
+          self.camtoworlds = np.load(fp)
+      if config.render_resolution is not None:
+        self.width, self.height = config.render_resolution
+      if config.render_focal is not None:
+        self.focal = config.render_focal
+      if config.render_camtype is not None:
+        if config.render_camtype == 'pano':
+          self._render_spherical = True
+        else:
+          self.camtype = camera_lib.ProjectionType(config.render_camtype)
+
+      self.distortion_params = None
+      self.pixtocams = camera_lib.get_pixtocam(self.focal, self.width,
+                                               self.height)
+
+    self._n_examples = self.camtoworlds.shape[0]
+
+    self.cameras = (self.pixtocams, self.camtoworlds,
+                    self.distortion_params, self.pixtocam_ndc)
+
+    if self.split == types.DataSplit.TRAIN:
+      self._next_fn = self._next_train
+    else:
+      self._next_fn = self._next_test
+    # Seed the queue before start() so the first __next__ can't race the
+    # producer thread's warmup.
+    self._queue.put(self._next_fn())
+    self.start()
+
+  def __iter__(self):
+    return self
+
+  def __next__(self) -> types.Batch:
+    """Next host-side batch (training: random rays; test: one image)."""
+    return self._queue.get()
+
+  def peek(self) -> types.Batch:
+    """Copy of the next batch without consuming it."""
+    return copy.copy(self._queue.queue[0])
+
+  def run(self):
+    while True:
+      self._queue.put(self._next_fn())
+
+  @property
+  def size(self):
+    return self._n_examples
+
+  @abc.abstractmethod
+  def _load_renderings(self, config):
+    """Load images/poses from disk; must set the attributes listed above."""
+
+  def _make_ray_batch(self, pix_x_int, pix_y_int, cam_idx,
+                      lossmult=None) -> types.Batch:
+    """Assemble a Batch from pixel coordinates and camera indices."""
+    broadcast_scalar = lambda x: np.broadcast_to(x, pix_x_int.shape)[..., None]
+    ray_kwargs = {
+        'lossmult': broadcast_scalar(1.0) if lossmult is None else lossmult,
+        'near': broadcast_scalar(self.near),
+        'far': broadcast_scalar(self.far),
+        'cam_idx': broadcast_scalar(cam_idx),
+    }
+    if self.metadata is not None:
+      # RawNeRF: exposure index and relative shutter speed.
+      for key in ['exposure_idx', 'exposure_values']:
+        idx = 0 if self.render_path else cam_idx
+        ray_kwargs[key] = broadcast_scalar(self.metadata[key][idx])
+    if self.exposures is not None:
+      idx = 0 if self.render_path else cam_idx
+      ray_kwargs['exposure_values'] = broadcast_scalar(self.exposures[idx])
+    if self.render_path and self.render_exposures is not None:
+      ray_kwargs['exposure_values'] = broadcast_scalar(
+          self.render_exposures[cam_idx])
+
+    pixels = types.Pixels(pix_x_int, pix_y_int, **ray_kwargs)
+    if self._cast_rays_in_train_step and self.split == types.DataSplit.TRAIN:
+      # Compact path: ship Pixels; the jitted train step casts rays on device.
+      rays = pixels
+    else:
+      rays = camera_lib.cast_ray_batch(self.cameras, pixels, self.camtype,
+                                       xnp=np)
+
+    batch = {'rays': rays}
+    if not self.render_path:
+      batch['rgb'] = self.images[cam_idx, pix_y_int, pix_x_int]
+    if self._load_disps:
+      batch['disps'] = self.disp_images[cam_idx, pix_y_int, pix_x_int]
+    if self._load_normals:
+      batch['normals'] = self.normal_images[cam_idx, pix_y_int, pix_x_int]
+      batch['alphas'] = self.alphas[cam_idx, pix_y_int, pix_x_int]
+    return types.Batch(**batch)
+
+  def _next_train(self) -> types.Batch:
+    """Random ray/patch batch (all images assumed same resolution)."""
+    num_patches = self._batch_size // self._patch_size**2
+    lower_border = self._num_border_pixels_to_mask
+    upper_border = self._num_border_pixels_to_mask + self._patch_size - 1
+    pix_x_int = np.random.randint(lower_border, self.width - upper_border,
+                                  (num_patches, 1, 1))
+    pix_y_int = np.random.randint(lower_border, self.height - upper_border,
+                                  (num_patches, 1, 1))
+    # Offsets broadcast each patch origin to (patch_size, patch_size).
+    patch_dx_int, patch_dy_int = camera_lib.pixel_coordinates(
+        self._patch_size, self._patch_size)
+    pix_x_int = pix_x_int + patch_dx_int
+    pix_y_int = pix_y_int + patch_dy_int
+    if self._batching == types.BatchingMethod.ALL_IMAGES:
+      cam_idx = np.random.randint(0, self._n_examples, (num_patches, 1, 1))
+    else:
+      cam_idx = np.random.randint(0, self._n_examples, (1,))
+
+    if self._apply_bayer_mask:
+      from multinerf_tpu.data import raw as raw_lib
+      lossmult = raw_lib.pixels_to_bayer_mask(pix_x_int, pix_y_int)
+    else:
+      lossmult = None
+
+    return self._make_ray_batch(pix_x_int, pix_y_int, cam_idx,
+                                lossmult=lossmult)
+
+  def generate_ray_batch(self, cam_idx: int) -> types.Batch:
+    """Full-image ray batch for one camera."""
+    if self._render_spherical:
+      camtoworld = self.camtoworlds[cam_idx]
+      rays = camera_lib.cast_spherical_rays(
+          camtoworld, self.height, self.width, self.near, self.far, xnp=np)
+      return types.Batch(rays=rays)
+    pix_x_int, pix_y_int = camera_lib.pixel_coordinates(
+        self.width, self.height)
+    return self._make_ray_batch(pix_x_int, pix_y_int, cam_idx)
+
+  def _next_test(self) -> types.Batch:
+    """Next test batch: one full image, cameras visited round-robin."""
+    cam_idx = self._test_camera_idx
+    self._test_camera_idx = (self._test_camera_idx + 1) % self._n_examples
+    return self.generate_ray_batch(cam_idx)
+
+
+class Blender(Dataset):
+  """Blender synthetic scenes (transforms_{split}.json)."""
+
+  def _load_renderings(self, config):
+    if config.render_path:
+      raise ValueError('render_path cannot be used for the blender dataset.')
+    pose_file = os.path.join(self.data_dir,
+                             f'transforms_{self.split.value}.json')
+    with open(pose_file, 'r') as fp:
+      meta = json.load(fp)
+    images = []
+    disp_images = []
+    normal_images = []
+    cams = []
+    for frame in meta['frames']:
+      fprefix = os.path.join(self.data_dir, frame['file_path'])
+
+      def get_img(f, fprefix=fprefix):
+        image = io_lib.load_img(fprefix + f)
+        if config.factor > 1:
+          image = image_ops.downsample(image, config.factor)
+        return image
+
+      if self._use_tiffs:
+        channels = [get_img(f'_{ch}.tiff') for ch in ['R', 'G', 'B', 'A']]
+        image = np.array(
+            image_ops.linear_to_srgb(np.stack(channels, axis=-1), xnp=np))
+      else:
+        image = get_img('.png') / 255.0
+      images.append(image)
+
+      if self._load_disps:
+        disp_images.append(get_img('_disp.tiff'))
+      if self._load_normals:
+        normal_images.append(get_img('_normal.png')[..., :3] * 2.0 / 255.0 -
+                             1.0)
+
+      cams.append(np.array(frame['transform_matrix'], dtype=np.float32))
+
+    self.images = np.stack(images, axis=0)
+    if self._load_disps:
+      self.disp_images = np.stack(disp_images, axis=0)
+    if self._load_normals:
+      self.normal_images = np.stack(normal_images, axis=0)
+      self.alphas = self.images[..., -1]
+
+    rgb, alpha = self.images[..., :3], self.images[..., -1:]
+    self.images = rgb * alpha + (1.0 - alpha)  # White background.
+    self.height, self.width = self.images.shape[1:3]
+    self.camtoworlds = np.stack(cams, axis=0)
+    self.focal = 0.5 * self.width / np.tan(
+        0.5 * float(meta['camera_angle_x']))
+    self.pixtocams = camera_lib.get_pixtocam(self.focal, self.width,
+                                             self.height)
+
+
+class LLFF(Dataset):
+  """Real captures with COLMAP poses (mip-NeRF 360 / LLFF layouts)."""
+
+  def _load_renderings(self, config):
+    # Raw training runs at full resolution (Bayer mosaic), otherwise use the
+    # pre-downsampled image directory.
+    image_dir_suffix = ''
+    if config.factor > 0 and not (config.rawnerf_mode and
+                                  self.split == types.DataSplit.TRAIN):
+      image_dir_suffix = f'_{config.factor}'
+      factor = config.factor
+    else:
+      factor = 1
+
+    colmap_dir = os.path.join(self.data_dir, 'sparse/0/')
+    if os.path.exists(colmap_dir):
+      pose_data = colmap.process_scene(colmap_dir)
+    else:
+      pose_data = load_blender_posedata(self.data_dir)
+    image_names, poses, pixtocam, distortion_params, camtype = pose_data
+
+    # Published NeRF metrics use alphabetically-sorted images for the
+    # held-out split; preserve that convention.
+    if config.load_alphabetical:
+      inds = np.argsort(image_names)
+      image_names = [image_names[i] for i in inds]
+      poses = poses[inds]
+
+    pixtocam = pixtocam @ np.diag([factor, factor, 1.0])
+    self.pixtocams = pixtocam.astype(np.float32)
+    self.focal = 1.0 / self.pixtocams[0, 0]
+    self.distortion_params = distortion_params
+    self.camtype = camtype
+
+    raw_testscene = False
+    if config.rawnerf_mode:
+      from multinerf_tpu.data import raw as raw_lib
+      images, metadata, raw_testscene = raw_lib.load_raw_dataset(
+          self.split, self.data_dir, image_names,
+          config.exposure_percentile, factor)
+      self.metadata = metadata
+    else:
+      colmap_image_dir = os.path.join(self.data_dir, 'images')
+      image_dir = os.path.join(self.data_dir, 'images' + image_dir_suffix)
+      for d in [image_dir, colmap_image_dir]:
+        if not os.path.exists(d):
+          raise ValueError(f'Image folder {d} does not exist.')
+      # Downsampled image names may differ from the COLMAP inputs; map
+      # between the two sorted lists.
+      colmap_files = sorted(os.listdir(colmap_image_dir))
+      image_files = sorted(os.listdir(image_dir))
+      colmap_to_image = dict(zip(colmap_files, image_files))
+      image_paths = [os.path.join(image_dir, colmap_to_image[f])
+                     for f in image_names]
+      images = np.stack([io_lib.load_img(x) for x in image_paths], axis=0)
+      images = images / 255.0
+
+      # EXIF (exposure) data lives in the original JPEGs.
+      jpeg_paths = [os.path.join(colmap_image_dir, f) for f in image_names]
+      exifs = [io_lib.load_exif(x) for x in jpeg_paths]
+      self.exifs = exifs
+      if 'ExposureTime' in exifs[0] and 'ISOSpeedRatings' in exifs[0]:
+        gather = lambda k: np.array([float(x[k]) for x in exifs])
+        self.exposures = gather('ExposureTime') * gather(
+            'ISOSpeedRatings') / 1000.0
+
+    posefile = os.path.join(self.data_dir, 'poses_bounds.npy')
+    if os.path.exists(posefile):
+      with open(posefile, 'rb') as fp:
+        poses_arr = np.load(fp)
+      bounds = poses_arr[:, -2:]
+    else:
+      bounds = np.array([0.01, 1.0])
+    self.colmap_to_world_transform = np.eye(4)
+
+    if config.forward_facing:
+      # NDC parameterization for forward-facing captures.
+      self.pixtocam_ndc = self.pixtocams.reshape(-1, 3, 3)[0]
+      scale = 1.0 / (bounds.min() * 0.75)
+      poses[:, :3, 3] *= scale
+      self.colmap_to_world_transform = np.diag([scale] * 3 + [1])
+      bounds *= scale
+      poses, transform = camera_lib.recenter_poses(poses)
+      self.colmap_to_world_transform = (
+          transform @ self.colmap_to_world_transform)
+      self.render_poses = camera_lib.generate_spiral_path(
+          poses, bounds, n_frames=config.render_path_frames)
+    else:
+      poses, transform = camera_lib.transform_poses_pca(poses)
+      self.colmap_to_world_transform = transform
+      if config.render_spline_keyframes is not None:
+        rets = camera_lib.create_render_spline_path(config, image_names,
+                                                    poses, self.exposures)
+        self.spline_indices, self.render_poses, self.render_exposures = rets
+      else:
+        self.render_poses = camera_lib.generate_ellipse_path(
+            poses,
+            n_frames=config.render_path_frames,
+            z_variation=config.z_variation,
+            z_phase=config.z_phase)
+
+    if raw_testscene:
+      # First COLMAP image shares the ground-truth test pose; the rest train.
+      poses = {
+          types.DataSplit.TEST: poses[:1],
+          types.DataSplit.TRAIN: poses[1:],
+      }[self.split]
+
+    self.poses = poses
+
+    all_indices = np.arange(images.shape[0])
+    if config.llff_use_all_images_for_training or raw_testscene:
+      train_indices = all_indices
+    else:
+      train_indices = all_indices % config.llffhold != 0
+    split_indices = {
+        types.DataSplit.TEST: all_indices[all_indices % config.llffhold == 0],
+        types.DataSplit.TRAIN: train_indices,
+    }
+    indices = split_indices[self.split]
+    images = images[indices]
+    poses = poses[indices]
+    if self.exposures is not None:
+      self.exposures = self.exposures[indices]
+    if config.rawnerf_mode:
+      for key in ['exposure_idx', 'exposure_values']:
+        self.metadata[key] = self.metadata[key][indices]
+
+    self.images = images
+    self.camtoworlds = self.render_poses if config.render_path else poses
+    self.height, self.width = images.shape[1:3]
+
+
+class TanksAndTemplesNerfPP(Dataset):
+  """Tanks and Temples, NeRF++ directory layout."""
+
+  def _load_renderings(self, config):
+    if config.render_path:
+      split_str = 'camera_path'
+    else:
+      split_str = self.split.value
+    basedir = os.path.join(self.data_dir, split_str)
+
+    def load_files(dirname, load_fn, shape=None):
+      files = [
+          os.path.join(basedir, dirname, f)
+          for f in sorted(os.listdir(os.path.join(basedir, dirname)))
+      ]
+      mats = np.array([load_fn(open(f, 'rb')) for f in files])
+      if shape is not None:
+        mats = mats.reshape(mats.shape[:1] + shape)
+      return mats
+
+    poses = load_files('pose', np.loadtxt, (4, 4))
+    # Flip Y/Z to our coordinate frame.
+    poses = np.matmul(poses, np.diag(np.array([1, -1, -1, 1])))
+
+    intrinsics = load_files('intrinsics', np.loadtxt, (4, 4))
+
+    if not config.render_path:
+      images = load_files(
+          'rgb', lambda f: np.array(io_lib.open_image(f))) / 255.0
+      self.images = images
+      self.height, self.width = self.images.shape[1:3]
+    else:
+      # Grab resolution from a test image.
+      d = os.path.join(self.data_dir, 'test', 'rgb')
+      f = os.path.join(d, sorted(os.listdir(d))[0])
+      shape = io_lib.load_img(f).shape
+      self.height, self.width = shape[:2]
+      self.images = None
+
+    self.camtoworlds = poses
+    # Use only the first focal length.
+    self.focal = intrinsics[0, 0, 0]
+    self.pixtocams = camera_lib.get_pixtocam(self.focal, self.width,
+                                             self.height)
+
+
+class TanksAndTemplesFVS(Dataset):
+  """Tanks and Temples, Free View Synthesis directory layout."""
+
+  def _load_renderings(self, config):
+    render_only = config.render_path and self.split == types.DataSplit.TEST
+
+    basedir = os.path.join(self.data_dir, 'dense')
+    sizes = [f for f in sorted(os.listdir(basedir)) if f.startswith('ibr3d')]
+    sizes = sizes[::-1]
+    if config.factor >= len(sizes):
+      raise ValueError(f'Factor {config.factor} larger than {len(sizes)}')
+
+    basedir = os.path.join(basedir, sizes[config.factor])
+    open_fn = lambda f: open(os.path.join(basedir, f), 'rb')
+
+    files = [f for f in sorted(os.listdir(basedir)) if f.startswith('im_')]
+    if render_only:
+      files = files[:1]
+    images = np.array(
+        [np.array(io_lib.open_image(open_fn(f))) for f in files]) / 255.0
+
+    names = ['Ks', 'Rs', 'ts']
+    intrinsics, rot, trans = (np.load(open_fn(f'{n}.npy')) for n in names)
+
+    # COLMAP world-to-cam -> our cam-to-world.
+    w2c = np.concatenate([rot, trans[..., None]], axis=-1)
+    c2w_colmap = np.linalg.inv(camera_lib.pad_poses(w2c))[:, :3, :4]
+    c2w = c2w_colmap @ np.diag(np.array([1, -1, -1, 1]))
+
+    poses, _ = camera_lib.transform_poses_pca(c2w)
+    self.poses = poses
+    self.images = images
+    self.height, self.width = self.images.shape[1:3]
+    self.camtoworlds = poses
+    self.focal = intrinsics[0, 0, 0]
+    self.pixtocams = camera_lib.get_pixtocam(self.focal, self.width,
+                                             self.height)
+
+    if render_only:
+      render_path = camera_lib.generate_ellipse_path(
+          poses,
+          config.render_path_frames,
+          z_variation=config.z_variation,
+          z_phase=config.z_phase)
+      self.images = None
+      self.camtoworlds = render_path
+      self.render_poses = render_path
+    else:
+      all_indices = np.arange(images.shape[0])
+      indices = {
+          types.DataSplit.TEST:
+              all_indices[all_indices % config.llffhold == 0],
+          types.DataSplit.TRAIN:
+              all_indices[all_indices % config.llffhold != 0],
+      }[self.split]
+      self.images = self.images[indices]
+      self.camtoworlds = self.camtoworlds[indices]
+
+
+class DTU(Dataset):
+  """DTU MVS dataset (rectified images + calibration projection matrices)."""
+
+  def _load_renderings(self, config):
+    if config.render_path:
+      raise ValueError('render_path cannot be used for the DTU dataset.')
+
+    images = []
+    pixtocams = []
+    camtoworlds = []
+
+    # A scan has 49 or 65 poses, 8 images (light conditions) each.
+    n_images = len(os.listdir(self.data_dir)) // 8
+    for i in range(1, n_images + 1):
+      if config.dtu_light_cond < 7:
+        light_str = f'{config.dtu_light_cond}_r' + (
+            '5000' if i < 50 else '7000')
+      else:
+        light_str = 'max'
+
+      fname = os.path.join(self.data_dir, f'rect_{i:03d}_{light_str}.png')
+      image = io_lib.load_img(fname) / 255.0
+      if config.factor > 1:
+        image = image_ops.downsample(image, config.factor)
+      images.append(image)
+
+      fname = os.path.join(self.data_dir, f'../../cal18/pos_{i:03d}.txt')
+      with open(fname, 'rb') as f:
+        projection = np.loadtxt(f, dtype=np.float32)
+      camera_mat, rot_mat, t = _decompose_projection_matrix(projection)
+      camera_mat = camera_mat / camera_mat[2, 2]
+      pose = np.eye(4, dtype=np.float32)
+      pose[:3, :3] = rot_mat.transpose()
+      pose[:3, 3] = (t[:3] / t[3])[:, 0]
+      camtoworlds.append(pose[:3])
+
+      if config.factor > 0:
+        camera_mat = np.diag(
+            [1.0 / config.factor, 1.0 / config.factor, 1.0]).astype(
+                np.float32) @ camera_mat
+      pixtocams.append(np.linalg.inv(camera_mat))
+
+    pixtocams = np.stack(pixtocams)
+    camtoworlds = np.stack(camtoworlds)
+    images = np.stack(images)
+
+    def rescale_poses(poses):
+      s = np.max(np.abs(poses[:, :3, -1]))
+      out = np.copy(poses)
+      out[:, :3, -1] /= s
+      return out
+
+    camtoworlds, _ = camera_lib.recenter_poses(camtoworlds)
+    camtoworlds = rescale_poses(camtoworlds)
+    # Flip y/z to OpenGL convention.
+    camtoworlds = camtoworlds @ np.diag([1.0, -1.0, -1.0, 1.0]).astype(
+        np.float32)
+
+    all_indices = np.arange(images.shape[0])
+    split_indices = {
+        types.DataSplit.TEST: all_indices[all_indices % config.dtuhold == 0],
+        types.DataSplit.TRAIN: all_indices[all_indices % config.dtuhold != 0],
+    }
+    indices = split_indices[self.split]
+
+    self.images = images[indices]
+    self.height, self.width = images.shape[1:3]
+    self.camtoworlds = camtoworlds[indices]
+    self.pixtocams = pixtocams[indices]
+
+
+def _decompose_projection_matrix(p: np.ndarray):
+  """Decompose P = K [R | -RC] into (K, R, C_homogeneous) via RQ.
+
+  numpy-only replacement for cv2.decomposeProjectionMatrix (the reference's
+  sole OpenCV dependency, datasets.py:870).
+  """
+  import scipy.linalg
+  m = p[:3, :3]
+  k, r = scipy.linalg.rq(m)
+  # Make the intrinsic diagonal positive.
+  signs = np.diag(np.sign(np.diag(k)))
+  k = k @ signs
+  r = signs @ r
+  if np.linalg.det(r) < 0:
+    k = -k
+    r = -r
+  # Camera center: right null vector of P.
+  _, _, vh = np.linalg.svd(p)
+  c = vh[-1]
+  c = c.reshape(4, 1)
+  return k, r, c
+
+
+class Dummy(Dataset):
+  """Synthetic random scene for tests and benchmarks (no disk IO)."""
+
+  NUM_IMAGES = 4
+  RESOLUTION = 16
+
+  def _load_renderings(self, config):
+    rng = np.random.RandomState(42)
+    n = self.NUM_IMAGES
+    res = self.RESOLUTION
+
+    # Cameras on a circle looking at the origin.
+    poses = []
+    for i in range(n):
+      theta = 2 * np.pi * i / n
+      position = np.array(
+          [4 * np.cos(theta), 4 * np.sin(theta), 1.0])
+      poses.append(camera_lib.viewmatrix(
+          lookdir=position, up=np.array([0.0, 0.0, 1.0]), position=position))
+    self.camtoworlds = np.stack(poses).astype(np.float32)
+    self.height = self.width = res
+    self.focal = res * 1.2
+    self.pixtocams = camera_lib.get_pixtocam(self.focal, self.width,
+                                             self.height)
+
+    # A geometrically-consistent "sky sphere" target: each pixel's color is a
+    # smooth function of its view direction, which a NeRF can actually fit
+    # (random images would have an irreducible loss floor).
+    images = []
+    for i in range(n):
+      pix_x, pix_y = camera_lib.pixel_coordinates(res, res)
+      _, _, viewdirs, _, _ = camera_lib.pixels_to_rays(
+          pix_x, pix_y, self.pixtocams, self.camtoworlds[i], xnp=np)
+      images.append(0.5 + 0.5 * np.sin(2.5 * viewdirs))
+    self.images = np.stack(images).astype(np.float32)
+
+    if self._load_disps:
+      self.disp_images = rng.rand(n, res, res).astype(np.float32)
+    if self._load_normals:
+      normals = rng.randn(n, res, res, 3).astype(np.float32)
+      self.normal_images = normals / np.linalg.norm(
+          normals, axis=-1, keepdims=True)
+      self.alphas = np.ones((n, res, res), np.float32)

@@ -1,0 +1,334 @@
+"""The multi-level NeRF model (proposal hierarchy) and full-image rendering.
+
+Capability parity with the reference ``Model`` (``internal/models.py:48-312``
+of google-research/multinerf): per-level dilate -> anneal -> resample ->
+stop-grad -> s_to_t -> cast Gaussians -> MLP -> alpha weights -> background
+-> RawNeRF exposure scaling -> volumetric rendering, with GLO embeddings and
+learned exposure scaling.
+
+TPU-first divergences:
+
+* ``render_image`` (reference models.py:625-706) drives a *jit+NamedSharding*
+  render function over the global device mesh rather than pmap + host-side
+  shard/unshard/all_gather: chunks are global arrays sharded on the data
+  axis, results come back as one global array per chunk.
+* Rays are cast with full covariances only when a warp needs them; the
+  analytic contract path consumes them on-chip without an autodiff pass.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multinerf_tpu import ginlite
+from multinerf_tpu.data import types
+from multinerf_tpu.models.mlp import NerfMLP, PropMLP, random_split
+from multinerf_tpu.ops import coord
+from multinerf_tpu.ops import rendering
+from multinerf_tpu.ops import stepfun
+
+
+@ginlite.configurable(name='Model')
+class Model(nn.Module):
+  """A mip-NeRF 360 model containing all MLPs."""
+  config: Any = None  # The framework Config (set at construction).
+  num_prop_samples: int = 64  # Samples per proposal level.
+  num_nerf_samples: int = 32  # Samples for the final nerf level.
+  num_levels: int = 3  # Sampling levels (3 == 2 proposals + 1 nerf).
+  bg_intensity_range: Tuple[float, ...] = (1.0, 1.0)  # Background color range.
+  anneal_slope: float = 10.0  # Higher = more rapid weight annealing.
+  stop_level_grad: bool = True  # Don't backprop across sampling levels.
+  use_viewdirs: bool = True  # Condition color on view directions.
+  raydist_fn: Callable[..., Any] = None  # Curve for ray-distance warping.
+  ray_shape: str = 'cone'  # 'cone' or 'cylinder'.
+  disable_integration: bool = False  # Use PE instead of IPE.
+  single_jitter: bool = True  # One jitter per ray instead of per sample.
+  dilation_multiplier: float = 0.5  # Relative interval dilation.
+  dilation_bias: float = 0.0025  # Absolute interval dilation.
+  num_glo_features: int = 0  # GLO vector length; 0 disables.
+  num_glo_embeddings: int = 1000  # Max number of train images for GLO.
+  learned_exposure_scaling: bool = False  # RawNeRF learned exposure scaling.
+  near_anneal_rate: Optional[float] = None  # Near-bound anneal-in rate.
+  near_anneal_init: float = 0.95  # Initial normalized near bound.
+  single_mlp: bool = False  # Use NerfMLP for proposal levels too.
+  resample_padding: float = 0.0  # Histogram padding during resampling.
+  use_gpu_resampling: bool = False  # Gather-based resampling (GPU-fast).
+  opaque_background: bool = False  # Treat background as opaque.
+
+  @nn.compact
+  def __call__(self, rng, rays, train_frac, compute_extras, zero_glo=True):
+    """Render a batch of rays through all sampling levels.
+
+    Args:
+      rng: rng for stochastic sampling, or None for deterministic output.
+      rays: types.Rays pytree.
+      train_frac: fraction of training complete, in [0, 1].
+      compute_extras: compute extra visualization/stat quantities.
+      zero_glo: feed zero GLO vectors (used at eval, where cam_idx is
+        meaningless for training embeddings).
+
+    Returns:
+      (renderings, ray_history): per-level rendering dicts and raw results.
+    """
+    # NOTE: construction order matters if weights are being regularized by
+    # module name.
+    nerf_mlp = ginlite.make('NerfMLP')
+    prop_mlp = nerf_mlp if self.single_mlp else ginlite.make('PropMLP')
+
+    if self.num_glo_features > 0:
+      if not zero_glo:
+        glo_vecs = nn.Embed(self.num_glo_embeddings, self.num_glo_features)
+        glo_vec = glo_vecs(rays.cam_idx[..., 0])
+      else:
+        glo_vec = jnp.zeros(rays.origins.shape[:-1] + (self.num_glo_features,))
+    else:
+      glo_vec = None
+
+    if self.learned_exposure_scaling:
+      # Per-exposure RGB scaling offsets, zero-init so scaling starts at 1.
+      exposure_scaling_offsets = nn.Embed(
+          self.num_glo_embeddings,
+          features=3,
+          embedding_init=jax.nn.initializers.zeros,
+          name='exposure_scaling_offsets')
+
+    _, s_to_t = coord.construct_ray_warps(self.raydist_fn, rays.near,
+                                          rays.far)
+
+    # Normalized per-ray sampling domain, annealed in from near_anneal_init
+    # when near_anneal_rate is set.
+    if self.near_anneal_rate is None:
+      init_s_near = 0.0
+    else:
+      init_s_near = jnp.clip(1 - train_frac / self.near_anneal_rate, 0,
+                             self.near_anneal_init)
+    init_s_far = 1.0
+    sdist = jnp.concatenate([
+        jnp.full_like(rays.near, init_s_near),
+        jnp.full_like(rays.far, init_s_far)
+    ], axis=-1)
+    weights = jnp.ones_like(rays.near)
+    prod_num_samples = 1
+
+    ray_history = []
+    renderings = []
+    for i_level in range(self.num_levels):
+      is_prop = i_level < (self.num_levels - 1)
+      num_samples = self.num_prop_samples if is_prop else self.num_nerf_samples
+
+      # Dilation: a multiple of the expected interval span plus a bias.
+      dilation = self.dilation_bias + self.dilation_multiplier * (
+          init_s_far - init_s_near) / prod_num_samples
+      prod_num_samples *= num_samples
+
+      use_dilation = self.dilation_bias > 0 or self.dilation_multiplier > 0
+      if i_level > 0 and use_dilation:
+        sdist, weights = stepfun.max_dilate_weights(
+            sdist, weights, dilation,
+            domain=(init_s_near, init_s_far),
+            renormalize=True)
+        sdist = sdist[..., 1:-1]
+        weights = weights[..., 1:-1]
+
+      if self.anneal_slope > 0:
+        # Schlick's bias function eases the anneal in.
+        bias = lambda x, s: (s * x) / ((s - 1) * x + 1)
+        anneal = bias(train_frac, self.anneal_slope)
+      else:
+        anneal = 1.0
+
+      # weights**anneal in log space; zero-width intervals pinned to -inf.
+      logits_resample = jnp.where(
+          sdist[..., 1:] > sdist[..., :-1],
+          anneal * jnp.log(weights + self.resample_padding), -jnp.inf)
+
+      key, rng = random_split(rng)
+      sdist = stepfun.sample_intervals(
+          key, sdist, logits_resample, num_samples,
+          single_jitter=self.single_jitter,
+          domain=(init_s_near, init_s_far),
+          use_gpu_resampling=self.use_gpu_resampling)
+
+      # Gradients through sampling destabilize optimization.
+      if self.stop_level_grad:
+        sdist = jax.lax.stop_gradient(sdist)
+
+      tdist = s_to_t(sdist)
+
+      gaussians = rendering.cast_rays(
+          tdist, rays.origins, rays.directions, rays.radii, self.ray_shape,
+          diag=False)
+
+      if self.disable_integration:
+        # Zero covariance turns IPE into plain PE.
+        gaussians = (gaussians[0], jnp.zeros_like(gaussians[1]))
+
+      mlp = prop_mlp if is_prop else nerf_mlp
+      key, rng = random_split(rng)
+      ray_results = mlp(
+          key,
+          gaussians,
+          viewdirs=rays.viewdirs if self.use_viewdirs else None,
+          imageplane=rays.imageplane,
+          glo_vec=None if is_prop else glo_vec,
+          exposure=rays.exposure_values,
+      )
+
+      weights = rendering.compute_alpha_weights(
+          ray_results['density'], tdist, rays.directions,
+          opaque_background=self.opaque_background)[0]
+
+      # Background color: fixed, midpoint (deterministic), or sampled.
+      if self.bg_intensity_range[0] == self.bg_intensity_range[1]:
+        bg_rgbs = self.bg_intensity_range[0]
+      elif rng is None:
+        bg_rgbs = (self.bg_intensity_range[0] +
+                   self.bg_intensity_range[1]) / 2
+      else:
+        key, rng = random_split(rng)
+        bg_rgbs = jax.random.uniform(
+            key, shape=weights.shape[:-1] + (3,),
+            minval=self.bg_intensity_range[0],
+            maxval=self.bg_intensity_range[1])
+
+      # RawNeRF exposure logic.
+      if rays.exposure_idx is not None:
+        ray_results['rgb'] *= rays.exposure_values[..., None, :]
+        if self.learned_exposure_scaling:
+          exposure_idx = rays.exposure_idx[..., 0]
+          # Index 0 is pinned to scale 1: it anchors scene brightness.
+          mask = exposure_idx > 0
+          scaling = 1 + mask[..., None] * exposure_scaling_offsets(
+              exposure_idx)
+          ray_results['rgb'] *= scaling[..., None, :]
+
+      rendering_out = rendering.volumetric_rendering(
+          ray_results['rgb'],
+          weights,
+          tdist,
+          bg_rgbs,
+          rays.far,
+          compute_extras,
+          extras={
+              k: v for k, v in ray_results.items()
+              if k.startswith('normals') or k in ['roughness']
+          })
+
+      if compute_extras:
+        # A small bag of rays for strip-chart visualization; 'ray_' prefixed
+        # keys are treated as ray bundles downstream, not image buffers.
+        n = self.config.vis_num_rays if self.config is not None else 16
+        rendering_out['ray_sdist'] = sdist.reshape(
+            [-1, sdist.shape[-1]])[:n, :]
+        rendering_out['ray_weights'] = weights.reshape(
+            [-1, weights.shape[-1]])[:n, :]
+        rgb = ray_results['rgb']
+        rendering_out['ray_rgbs'] = rgb.reshape(
+            (-1,) + rgb.shape[-2:])[:n, :, :]
+
+      renderings.append(rendering_out)
+      ray_results['sdist'] = jnp.copy(sdist)
+      ray_results['weights'] = jnp.copy(weights)
+      ray_history.append(ray_results)
+
+    if compute_extras:
+      # Proposal colors are meaningless; replace their ray_rgbs with the
+      # final level's average color for visualization.
+      final_weights = [r['ray_weights'] for r in renderings]
+      rgbs = [r['ray_rgbs'] for r in renderings]
+      final_rgb = jnp.sum(rgbs[-1] * final_weights[-1][..., None], axis=-2)
+      for i in range(len(renderings) - 1):
+        renderings[i]['ray_rgbs'] = jnp.broadcast_to(
+            final_rgb[:, None, :], rgbs[i].shape)
+
+    return renderings, ray_history
+
+
+def construct_model(rng, rays, config):
+  """Build a Model from gin bindings and initialize its parameters."""
+  # Initialize with a tiny slice of rays to minimize init memory.
+  ray = jax.tree_util.tree_map(
+      lambda x: jnp.reshape(x, [-1, x.shape[-1]])[:10], rays)
+  model = ginlite.make('Model', config=config)
+  init_variables = model.init(
+      rng,
+      rng=None,
+      rays=ray,
+      train_frac=1.0,
+      compute_extras=False,
+      zero_glo=model.num_glo_features == 0)
+  return model, init_variables
+
+
+def render_image(render_fn, rays: types.Rays, rng, config,
+                 verbose: bool = True):
+  """Render all pixels of an image by driving a jitted chunk renderer.
+
+  Args:
+    render_fn: jitted function (rng, rays-chunk) -> (renderings, history)
+      operating on global arrays sharded over the mesh's data axis.
+    rays: [H, W, ...] Rays pytree for the full image.
+    rng: rng or None.
+    config: Config (render_chunk_size, vis_num_rays).
+    verbose: print progress.
+
+  Returns:
+    dict of [H, W, c] image buffers plus 'ray_' visualization bundles.
+  """
+  height, width = rays.origins.shape[:2]
+  num_rays = height * width
+  rays = jax.tree_util.tree_map(lambda r: r.reshape((num_rays, -1)), rays)
+
+  # Chunks must be divisible by the device count for even sharding.
+  chunk_size = config.render_chunk_size
+  n_dev = jax.device_count()
+
+  chunks = []
+  idx0s = range(0, num_rays, chunk_size)
+  for i_chunk, idx0 in enumerate(idx0s):
+    if verbose and i_chunk % max(1, len(idx0s) // 10) == 0:
+      print(f'Rendering chunk {i_chunk}/{len(idx0s) - 1}')
+    chunk_rays = jax.tree_util.tree_map(
+        lambda r: r[idx0:idx0 + chunk_size], rays)
+    actual = chunk_rays.origins.shape[0]
+    padding = (-actual) % n_dev
+    if padding:
+      chunk_rays = jax.tree_util.tree_map(
+          lambda r: jnp.pad(r, ((0, padding), (0, 0)), mode='edge'),
+          chunk_rays)
+
+    chunk_renderings, _ = render_fn(rng, chunk_rays)
+    chunk_renderings = jax.device_get(chunk_renderings)
+    if padding:
+      chunk_renderings = jax.tree_util.tree_map(
+          lambda v: v[:-padding] if v.shape[0] == actual + padding else v,
+          chunk_renderings)
+
+    # Keep the final level's image buffers and every level's ray bundles.
+    chunk_rendering = chunk_renderings[-1]
+    for k in chunk_renderings[0]:
+      if k.startswith('ray_'):
+        chunk_rendering[k] = [r[k] for r in chunk_renderings]
+    chunks.append(chunk_rendering)
+
+  rendering = jax.tree_util.tree_map(
+      lambda *args: jnp.concatenate(args), *chunks)
+  for k, z in rendering.items():
+    if not k.startswith('ray_'):
+      rendering[k] = z.reshape((height, width) + z.shape[1:])
+
+  # Deterministically subsample the concatenated ray bundles back down to
+  # one bundle's size.
+  keys = [k for k in rendering if k.startswith('ray_')]
+  if keys:
+    num_bundle_rays = rendering[keys[0]][0].shape[0]
+    ray_idx = jax.random.permutation(jax.random.PRNGKey(0), num_bundle_rays)
+    ray_idx = ray_idx[:config.vis_num_rays]
+    for k in keys:
+      rendering[k] = [r[ray_idx] for r in rendering[k]]
+
+  return rendering

@@ -1,0 +1,363 @@
+"""Losses, optimizer, and the jit+mesh training/eval step factories.
+
+Capability parity with ``internal/train_utils.py`` of google-research/
+multinerf — data/interlevel/distortion/orientation/predicted-normal losses,
+per-MLP gradient clipping, rich tree statistics — with the parallelism
+re-designed TPU-first:
+
+* The train step is ONE ``jax.jit`` over a global ``Mesh`` with the batch
+  sharded on the data axis and parameters replicated (optionally tensor-
+  sharded over a model axis).  GSPMD inserts the gradient all-reduce over
+  ICI; there is no pmap, no explicit ``lax.pmean`` (reference
+  train_utils.py:319-345), and no host-side shard/unshard reshapes.
+* Eval rendering likewise jits over the mesh and returns global arrays
+  (reference uses pmap + ``lax.all_gather``, train_utils.py:377-396).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training.train_state import TrainState
+
+from multinerf_tpu import configs as configs_lib
+from multinerf_tpu import robust
+from multinerf_tpu.data import cameras as camera_lib
+from multinerf_tpu.data import types
+from multinerf_tpu.models import nerf as nerf_lib
+from multinerf_tpu.ops import image_ops
+from multinerf_tpu.ops import mathx
+from multinerf_tpu.ops import ref_utils
+from multinerf_tpu.ops import stepfun
+from multinerf_tpu.parallel import mesh as mesh_lib
+
+
+# --- Pytree statistics helpers. -------------------------------------------------
+
+
+def tree_sum(tree):
+  return jax.tree_util.tree_reduce(lambda x, y: x + y, tree, initializer=0)
+
+
+def tree_norm_sq(tree):
+  return tree_sum(jax.tree_util.tree_map(lambda x: jnp.sum(x**2), tree))
+
+
+def tree_norm(tree):
+  return jnp.sqrt(tree_norm_sq(tree))
+
+
+def tree_abs_max(tree):
+  return jax.tree_util.tree_reduce(
+      lambda x, y: jnp.maximum(x, jnp.max(jnp.abs(y))), tree, initializer=0)
+
+
+def tree_len(tree):
+  return tree_sum(
+      jax.tree_util.tree_map(lambda z: jnp.prod(jnp.array(z.shape)), tree))
+
+
+def summarize_tree(tree, fn, ancestry=(), max_depth=3):
+  """Flatten a nested dict while fn-ing values; keys join like/this."""
+  stats = {}
+  for k, v in tree.items():
+    name = ancestry + (k,)
+    stats['/'.join(name)] = fn(v)
+    if hasattr(v, 'items') and len(ancestry) < (max_depth - 1):
+      stats.update(summarize_tree(v, fn, ancestry=name, max_depth=max_depth))
+  return stats
+
+
+# --- Loss terms. -----------------------------------------------------------------
+
+
+def compute_data_loss(batch, renderings, rays, loss_threshold, config):
+  """Photometric data loss over all levels, plus training metrics."""
+  data_losses = []
+  stats = {'mses': []}
+
+  # lossmult weights rays (Bayer mask, multiscale weighting, masking...).
+  lossmult = rays.lossmult
+  lossmult = jnp.broadcast_to(lossmult, batch.rgb[..., :3].shape)
+  if config.disable_multiscale_loss:
+    lossmult = jnp.ones_like(lossmult)
+
+  for rendering in renderings:
+    resid_sq = (rendering['rgb'] - batch.rgb[..., :3])**2
+    denom = lossmult.sum()
+    stats['mses'].append((lossmult * resid_sq).sum() / denom)
+
+    if config.data_loss_type == 'mse':
+      data_loss = resid_sq
+    elif config.data_loss_type == 'charb':
+      data_loss = jnp.sqrt(resid_sq + config.charb_padding**2)
+    elif config.data_loss_type == 'rawnerf':
+      # Clip renders at 1 to mimic sensor saturation, then reweight by the
+      # gradient of the log tonemap curve (arxiv.org/abs/2111.13679 Eq 6).
+      rgb_render_clip = jnp.minimum(1.0, rendering['rgb'])
+      resid_sq_clip = (rgb_render_clip - batch.rgb[..., :3])**2
+      scaling_grad = 1.0 / (1e-3 + jax.lax.stop_gradient(rgb_render_clip))
+      data_loss = resid_sq_clip * scaling_grad**2
+    elif config.data_loss_type == 'robustnerf':
+      mask, robust_stats = robust.robustnerf_mask(resid_sq, loss_threshold,
+                                                  config)
+      data_loss = resid_sq * mask
+      for k, v in robust_stats.items():
+        stats[k] = v
+    else:
+      raise ValueError(f'Unknown data loss type {config.data_loss_type}')
+    data_losses.append((lossmult * data_loss).sum() / denom)
+
+    if config.compute_disp_metrics:
+      disp = 1 / (1 + rendering['distance_mean'])
+      stats.setdefault('disparity_mses', []).append(
+          ((disp - batch.disps)**2).mean())
+
+    if config.compute_normal_metrics:
+      if 'normals' in rendering:
+        weights = rendering['acc'] * batch.alphas
+        normalized_normals_gt = ref_utils.l2_normalize(batch.normals)
+        normalized_normals = ref_utils.l2_normalize(rendering['normals'])
+        normal_mae = ref_utils.compute_weighted_mae(
+            weights, normalized_normals, normalized_normals_gt)
+      else:
+        normal_mae = jnp.nan
+      stats.setdefault('normal_maes', []).append(normal_mae)
+
+  data_losses = jnp.array(data_losses)
+  loss = (config.data_coarse_loss_mult * jnp.sum(data_losses[:-1]) +
+          config.data_loss_mult * data_losses[-1])
+  stats = {k: jnp.array(v) if isinstance(v, list) else v
+           for k, v in stats.items()}
+  return loss, stats
+
+
+def interlevel_loss(ray_history, config):
+  """Proposal supervision: coarse histograms must envelope the nerf's."""
+  last = ray_history[-1]
+  c = jax.lax.stop_gradient(last['sdist'])
+  w = jax.lax.stop_gradient(last['weights'])
+  loss = 0.0
+  for ray_results in ray_history[:-1]:
+    loss += jnp.mean(stepfun.lossfun_outer(
+        c, w, ray_results['sdist'], ray_results['weights']))
+  return config.interlevel_loss_mult * loss
+
+
+def distortion_loss(ray_history, config):
+  """mip-NeRF 360 distortion regularizer on the final level."""
+  last = ray_history[-1]
+  loss = jnp.mean(stepfun.lossfun_distortion(last['sdist'], last['weights']))
+  return config.distortion_loss_mult * loss
+
+
+def orientation_loss(rays, model, ray_history, config):
+  """Ref-NeRF orientation loss: penalize normals facing away from camera."""
+  total_loss = 0.0
+  for i, ray_results in enumerate(ray_history):
+    w = ray_results['weights']
+    n = ray_results[config.orientation_loss_target]
+    if n is None:
+      raise ValueError('Normals cannot be None if orientation loss is on.')
+    v = -1.0 * rays.viewdirs  # Points from surface toward camera.
+    n_dot_v = (n * v[..., None, :]).sum(axis=-1)
+    loss = jnp.mean((w * jnp.minimum(0.0, n_dot_v)**2).sum(axis=-1))
+    mult = (config.orientation_coarse_loss_mult
+            if i < model.num_levels - 1 else config.orientation_loss_mult)
+    total_loss += mult * loss
+  return total_loss
+
+
+def predicted_normal_loss(model, ray_history, config):
+  """Ref-NeRF supervision of predicted normals by density-gradient normals."""
+  total_loss = 0.0
+  for i, ray_results in enumerate(ray_history):
+    w = ray_results['weights']
+    n = ray_results['normals']
+    n_pred = ray_results['normals_pred']
+    if n is None or n_pred is None:
+      raise ValueError('Predicted and gradient normals cannot be None if '
+                       'predicted normal loss is on.')
+    loss = jnp.mean((w * (1.0 - jnp.sum(n * n_pred, axis=-1))).sum(axis=-1))
+    mult = (config.predicted_normal_coarse_loss_mult
+            if i < model.num_levels - 1
+            else config.predicted_normal_loss_mult)
+    total_loss += mult * loss
+  return total_loss
+
+
+def clip_gradients(grad, config):
+  """Clip gradients of each top-level module (MLP) individually."""
+  grad_clipped = {'params': {}}
+  for k, g in grad['params'].items():
+    if config.grad_max_val > 0:
+      g = jax.tree_util.tree_map(
+          lambda z: jnp.clip(z, -config.grad_max_val, config.grad_max_val), g)
+    if config.grad_max_norm > 0:
+      mult = jnp.minimum(
+          1, config.grad_max_norm /
+          (jnp.finfo(jnp.float32).eps + tree_norm(g)))
+      g = jax.tree_util.tree_map(lambda z, m=mult: m * z, g)
+    grad_clipped['params'][k] = g
+  return type(grad)(grad_clipped)
+
+
+# --- Optimizer. -------------------------------------------------------------------
+
+
+def create_optimizer(config, variables) -> Tuple[TrainState, Callable]:
+  """Adam with the log-linear decayed learning-rate schedule."""
+  adam_kwargs = {
+      'b1': config.adam_beta1,
+      'b2': config.adam_beta2,
+      'eps': config.adam_eps,
+  }
+  lr_fn = functools.partial(
+      mathx.learning_rate_decay,
+      lr_init=config.lr_init,
+      lr_final=config.lr_final,
+      max_steps=config.max_steps,
+      lr_delay_steps=config.lr_delay_steps,
+      lr_delay_mult=config.lr_delay_mult)
+  tx = optax.adam(learning_rate=lr_fn, **adam_kwargs)
+  return TrainState.create(apply_fn=None, params=variables, tx=tx), lr_fn
+
+
+# --- Train / eval step factories. ---------------------------------------------------
+
+
+def create_train_step(model, config, mesh, dataset=None):
+  """Build the jitted SPMD training step.
+
+  The returned function takes and returns *global* arrays laid out on
+  `mesh`: state/rng replicated, batch sharded along the data axis.  The
+  gradient all-reduce is inserted by GSPMD, riding ICI.
+  """
+  if dataset is None:
+    camtype = camera_lib.ProjectionType.PERSPECTIVE
+    cameras = None
+  else:
+    camtype = dataset.camtype
+    # jnp constants so traced cam_idx can index them inside the jitted step.
+    import numpy as np
+    cameras = tuple(
+        jnp.asarray(x) if isinstance(x, np.ndarray) else x
+        for x in dataset.cameras)
+
+  def train_step(rng, state, batch, train_frac, loss_threshold):
+    rng, key = jax.random.split(rng)
+
+    def loss_fn(variables):
+      rays = batch.rays
+      if config.cast_rays_in_train_step:
+        rays = camera_lib.cast_ray_batch(cameras, rays, camtype, xnp=jnp)
+
+      compute_extras = (config.compute_disp_metrics or
+                        config.compute_normal_metrics)
+
+      renderings, ray_history = model.apply(
+          variables,
+          key if config.randomized else None,
+          rays,
+          train_frac=train_frac,
+          compute_extras=compute_extras,
+          zero_glo=False)
+
+      losses = {}
+      data_loss, stats = compute_data_loss(batch, renderings, rays,
+                                           loss_threshold, config)
+      losses['data'] = data_loss
+
+      if config.interlevel_loss_mult > 0:
+        losses['interlevel'] = interlevel_loss(ray_history, config)
+      if config.distortion_loss_mult > 0:
+        losses['distortion'] = distortion_loss(ray_history, config)
+      if (config.orientation_coarse_loss_mult > 0 or
+          config.orientation_loss_mult > 0):
+        losses['orientation'] = orientation_loss(rays, model, ray_history,
+                                                 config)
+      if (config.predicted_normal_coarse_loss_mult > 0 or
+          config.predicted_normal_loss_mult > 0):
+        losses['predicted_normals'] = predicted_normal_loss(
+            model, ray_history, config)
+
+      stats['weight_l2s'] = summarize_tree(variables['params'], tree_norm_sq)
+
+      if config.weight_decay_mults:
+        it = config.weight_decay_mults.items
+        losses['weight'] = jnp.sum(
+            jnp.array([m * stats['weight_l2s'][k] for k, m in it()]))
+
+      stats['loss'] = jnp.sum(jnp.array(list(losses.values())))
+      stats['losses'] = losses
+      return stats['loss'], stats
+
+    loss_grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (_, stats), grad = loss_grad_fn(state.params)
+
+    # No explicit pmean: with the batch sharded over the data axis and
+    # params replicated, GSPMD emits the cross-chip grad reduction itself.
+    stats['grad_norms'] = summarize_tree(grad['params'], tree_norm)
+    stats['grad_maxes'] = summarize_tree(grad['params'], tree_abs_max)
+
+    grad = clip_gradients(grad, config)
+    grad = jax.tree_util.tree_map(jnp.nan_to_num, grad)
+
+    new_state = state.apply_gradients(grads=grad)
+
+    opt_delta = jax.tree_util.tree_map(lambda x, y: x - y, new_state,
+                                       state).params['params']
+    stats['opt_update_norms'] = summarize_tree(opt_delta, tree_norm)
+    stats['opt_update_maxes'] = summarize_tree(opt_delta, tree_abs_max)
+
+    stats['psnrs'] = image_ops.mse_to_psnr(stats['mses'])
+    stats['psnr'] = stats['psnrs'][-1]
+    return new_state, stats, rng
+
+  repl = mesh_lib.replicated(mesh)
+  data = mesh_lib.data_sharding(mesh)
+  train_pstep = jax.jit(
+      train_step,
+      in_shardings=(repl, None, data, None, None),
+      donate_argnums=(0, 1),
+  )
+  return train_pstep
+
+
+def create_render_fn(model, mesh):
+  """Build the jitted SPMD eval-render function (deterministic)."""
+
+  def render_eval_fn(variables, train_frac, _, rays):
+    return model.apply(
+        variables,
+        None,  # Deterministic.
+        rays,
+        train_frac=train_frac,
+        compute_extras=True)
+
+  repl = mesh_lib.replicated(mesh)
+  data = mesh_lib.data_sharding(mesh)
+  render_eval_pfn = jax.jit(
+      render_eval_fn,
+      in_shardings=(repl, None, None, data),
+  )
+  return render_eval_pfn
+
+
+def setup_model(config, rng, mesh=None, dataset=None):
+  """One-stop: construct model, optimizer, and jitted train/render fns."""
+  if mesh is None:
+    mesh = mesh_lib.create_mesh()
+  dummy = types.dummy_rays(
+      include_exposure_idx=config.rawnerf_mode, include_exposure_values=True)
+  model, variables = nerf_lib.construct_model(rng, dummy, config)
+
+  state, lr_fn = create_optimizer(config, variables)
+  render_eval_pfn = create_render_fn(model, mesh)
+  train_pstep = create_train_step(model, config, mesh, dataset=dataset)
+
+  return model, state, render_eval_pfn, train_pstep, lr_fn

@@ -1,0 +1,173 @@
+"""End-to-end training-slice tests on the virtual 8-device CPU mesh.
+
+What the reference never had (SURVEY.md section 4): a tiny train-step
+integration test that checks loss decreases, plus multi-device sharding
+coverage.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multinerf_tpu import configs as configs_lib
+from multinerf_tpu import ginlite
+from multinerf_tpu import train_lib
+from multinerf_tpu.data import datasets
+from multinerf_tpu.models import nerf as models
+from multinerf_tpu.parallel import mesh as mesh_lib
+
+
+@pytest.fixture(autouse=True)
+def _clean_gin():
+  ginlite.clear_config()
+  yield
+  ginlite.clear_config()
+
+
+def tiny_config(**overrides):
+  ginlite.parse_config_files_and_bindings(
+      [], ['PropMLP.net_depth = 2', 'PropMLP.net_width = 16',
+           'NerfMLP.net_depth = 2', 'NerfMLP.net_width = 16',
+           'Model.num_prop_samples = 8', 'Model.num_nerf_samples = 4',
+           'Model.num_levels = 2'])
+  kwargs = dict(
+      dataset_loader='dummy',
+      batch_size=256,
+      render_chunk_size=128,
+      data_loss_type='mse',
+      near=0.5,
+      far=10.0,
+      lr_init=2e-3,
+      lr_final=2e-4,
+      max_steps=50,
+      lr_delay_steps=0,
+  )
+  kwargs.update(overrides)
+  return configs_lib.Config(**kwargs)
+
+
+def test_train_loss_decreases_and_sharding():
+  config = tiny_config()
+  assert jax.device_count() == 8, 'conftest must provide 8 CPU devices'
+  mesh = mesh_lib.create_mesh()
+  dataset = datasets.load_dataset('train', '', config)
+
+  rng = jax.random.PRNGKey(0)
+  model, state, render_eval_pfn, train_pstep, lr_fn = train_lib.setup_model(
+      config, rng, mesh=mesh, dataset=dataset)
+
+  state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+  losses = []
+  for step, batch in zip(range(1, 51), dataset):
+    gbatch = mesh_lib.shard_batch_to_global(mesh, batch)
+    # The batch must actually be sharded over the data axis.
+    if step == 1:
+      shard_shapes = [s.data.shape for s in gbatch.rgb.addressable_shards]
+      assert len(shard_shapes) == 8
+      assert all(s[0] == config.batch_size // 8 for s in shard_shapes)
+    train_frac = jnp.clip((step - 1) / (config.max_steps - 1), 0, 1)
+    state, stats, rng = train_pstep(rng, state, gbatch, train_frac, 1.0)
+    losses.append(float(stats['loss']))
+
+  assert np.isfinite(losses).all()
+  # Loss at the end must beat the start by a clear margin.
+  assert np.mean(losses[-10:]) < 0.8 * np.mean(losses[:5]), losses
+  # PSNR is logged and finite.
+  assert np.isfinite(float(stats['psnr']))
+
+
+def test_render_image_full_pipeline():
+  config = tiny_config()
+  mesh = mesh_lib.create_mesh()
+  dataset = datasets.load_dataset('test', '', config)
+
+  rng = jax.random.PRNGKey(0)
+  _, state, render_eval_pfn, _, _ = train_lib.setup_model(
+      config, rng, mesh=mesh, dataset=dataset)
+
+  test_case = next(dataset)
+  import functools
+  rendering = models.render_image(
+      functools.partial(render_eval_pfn, state.params, 1.0),
+      test_case.rays, None, config, verbose=False)
+
+  h, w = dataset.height, dataset.width
+  assert rendering['rgb'].shape == (h, w, 3)
+  assert rendering['acc'].shape == (h, w)
+  assert rendering['distance_mean'].shape == (h, w)
+  assert np.isfinite(np.array(rendering['rgb'])).all()
+  # Ray visualization bundles: one list entry per level.
+  assert len(rendering['ray_sdist']) == 2
+
+
+def test_cast_rays_in_train_step_path():
+  """The compact Pixels path must agree with host-side ray casting."""
+  config = tiny_config(cast_rays_in_train_step=True)
+  mesh = mesh_lib.create_mesh()
+  dataset = datasets.load_dataset('train', '', config)
+  batch = next(dataset)
+  # Batch rays are compact Pixels, not Rays.
+  from multinerf_tpu.data import types
+  assert isinstance(batch.rays, types.Pixels)
+
+  from multinerf_tpu.data import cameras as camera_lib
+  rays_np = camera_lib.cast_ray_batch(dataset.cameras, batch.rays,
+                                      dataset.camtype, xnp=np)
+  rays_jnp = jax.jit(
+      lambda px: camera_lib.cast_ray_batch(
+          jax.tree_util.tree_map(jnp.asarray, dataset.cameras),
+          px, dataset.camtype, xnp=jnp))(batch.rays)
+  np.testing.assert_allclose(np.array(rays_jnp.origins), rays_np.origins,
+                             rtol=1e-4, atol=1e-5)
+  np.testing.assert_allclose(np.array(rays_jnp.directions),
+                             rays_np.directions, rtol=1e-4, atol=1e-5)
+  np.testing.assert_allclose(np.array(rays_jnp.radii), rays_np.radii,
+                             rtol=1e-4, atol=1e-6)
+
+  # And training steps run on the Pixels path.
+  rng = jax.random.PRNGKey(0)
+  _, state, _, train_pstep, _ = train_lib.setup_model(
+      config, rng, mesh=mesh, dataset=dataset)
+  state = jax.device_put(state, mesh_lib.replicated(mesh))
+  gbatch = mesh_lib.shard_batch_to_global(mesh, batch)
+  state, stats, rng = train_pstep(rng, state, gbatch, 0.5, 1.0)
+  assert np.isfinite(float(stats['loss']))
+
+
+def test_model_parallel_mesh_compiles():
+  """Tensor-sharded params (model axis) must compile and run."""
+  ginlite.clear_config()
+  ginlite.parse_config_files_and_bindings(
+      [], ['PropMLP.net_depth = 2', 'PropMLP.net_width = 16',
+           'NerfMLP.net_depth = 2', 'NerfMLP.net_width = 512',
+           'Model.num_prop_samples = 8', 'Model.num_nerf_samples = 4',
+           'Model.num_levels = 2'])
+  config = configs_lib.Config(
+      dataset_loader='dummy', batch_size=64, data_loss_type='mse',
+      near=0.5, far=10.0, max_steps=10, lr_delay_steps=0)
+  mesh = mesh_lib.create_mesh(model_parallel=2)
+  assert mesh.shape['data'] == 4 and mesh.shape['model'] == 2
+  dataset = datasets.load_dataset('train', '', config)
+
+  rng = jax.random.PRNGKey(0)
+  _, state, _, train_pstep, _ = train_lib.setup_model(
+      config, rng, mesh=mesh, dataset=dataset)
+
+  shardings = mesh_lib.infer_param_shardings(state.params, mesh)
+  # At least one kernel must actually be model-sharded.
+  leaves = jax.tree_util.tree_leaves(
+      jax.tree_util.tree_map(lambda s: s.spec, shardings,
+                             is_leaf=lambda x: hasattr(x, 'spec')))
+  assert any('model' in str(l) for l in leaves)
+  state = state.replace(params=jax.device_put(state.params, shardings))
+  state = state.replace(opt_state=jax.device_put(
+      state.opt_state, mesh_lib.replicated(mesh)))
+
+  gbatch = mesh_lib.shard_batch_to_global(mesh, next(dataset))
+  state, stats, _ = train_pstep(jax.random.PRNGKey(1), state, gbatch, 0.5,
+                                1.0)
+  assert np.isfinite(float(stats['loss']))

@@ -1,0 +1,267 @@
+"""Training entry point.
+
+CLI-compatible with the reference's ``train.py`` (google-research/multinerf):
+``python train.py --gin_configs=configs/360.gin --gin_bindings=...``, the
+same TensorBoard scalar names (train_steps_per_sec, train_rays_per_sec,
+train_avg_psnr, ...), console lines, and checkpoint cadence.
+
+Architecture differences (TPU-first): one jit'd SPMD step over a global
+device mesh instead of pmap (no replicate/unreplicate, no per-device rng
+stacking); orbax async checkpoints; batches stream to the mesh as global
+arrays with one-step host->device prefetch.
+"""
+
+import functools
+import gc
+import time
+
+from absl import app
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.metrics import tensorboard
+
+from multinerf_tpu import configs
+from multinerf_tpu import ginlite
+from multinerf_tpu import train_lib
+from multinerf_tpu.data import datasets
+from multinerf_tpu.models import nerf as models
+from multinerf_tpu.ops import image_ops
+from multinerf_tpu.parallel import mesh as mesh_lib
+from multinerf_tpu.utils import checkpoints as ckpt_lib
+from multinerf_tpu.utils import visualize as vis
+
+configs.define_common_flags()
+jax.config.parse_flags_with_absl()
+
+TIME_PRECISION = 1000  # Integer times are in milliseconds.
+
+
+def prefetch_to_mesh(iterator, mesh, size=2):
+  """Overlap host batch assembly + H2D with device compute."""
+  import collections
+  buf = collections.deque()
+  while True:
+    while len(buf) < size:
+      buf.append(mesh_lib.shard_batch_to_global(mesh, next(iterator)))
+    yield buf.popleft()
+
+
+def main(unused_argv):
+  rng = jax.random.PRNGKey(20200823)
+  # Shift the numpy seed per process so hosts sample different rays.
+  np.random.seed(20201473 + jax.process_index())
+
+  config = configs.load_config()
+
+  if config.batch_size % jax.device_count() != 0:
+    raise ValueError('Batch size must be divisible by the number of devices.')
+
+  mesh = mesh_lib.create_mesh()
+
+  dataset = datasets.load_dataset('train', config.data_dir, config)
+  test_dataset = datasets.load_dataset('test', config.data_dir, config)
+
+  if config.rawnerf_mode:
+    postprocess_fn = test_dataset.metadata['postprocess_fn']
+  else:
+    postprocess_fn = lambda z, _=None: z
+
+  rng, key = jax.random.split(rng)
+  setup = train_lib.setup_model(config, key, mesh=mesh, dataset=dataset)
+  model, state, render_eval_pfn, train_pstep, lr_fn = setup
+
+  num_params = train_lib.tree_len(state.params)
+  print(f'Number of parameters being optimized: {num_params}')
+
+  if dataset.size > model.num_glo_embeddings and model.num_glo_features > 0:
+    raise ValueError(f'Number of glo embeddings {model.num_glo_embeddings} '
+                     f'must be at least equal to number of train images '
+                     f'{dataset.size}')
+
+  metric_harness = image_ops.MetricHarness()
+
+  ckpt = ckpt_lib.CheckpointManager(config.checkpoint_dir, keep=100)
+  state = ckpt.restore_latest(state)
+  init_step = int(state.step) + 1
+  # Lay the training state out on the mesh (replicated; or tensor-sharded
+  # when a model axis is configured).
+  state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+  if jax.process_index() == 0:
+    summary_writer = tensorboard.SummaryWriter(config.checkpoint_dir)
+    if config.rawnerf_mode:
+      for name, data in zip(['train', 'test'], [dataset, test_dataset]):
+        for k in ['exposure_idx', 'exposure_values', 'unique_shutters']:
+          summary_writer.text(f'{name}_{k}', str(data.metadata[k]), 0)
+
+  pdataset = prefetch_to_mesh(iter(dataset), mesh, 2)
+  rng = jax.random.fold_in(rng, jax.process_index())
+  gc.disable()  # Avoid GC jitter in the hot loop.
+  total_time = 0
+  total_steps = 0
+  reset_stats = True
+  if config.early_exit_steps is not None:
+    num_steps = config.early_exit_steps
+  else:
+    num_steps = config.max_steps
+  loss_threshold = 1.0
+  for step, batch in zip(range(init_step, num_steps + 1), pdataset):
+
+    if reset_stats and (jax.process_index() == 0):
+      stats_buffer = []
+      train_start_time = time.time()
+      reset_stats = False
+
+    learning_rate = lr_fn(step)
+    train_frac = jnp.clip((step - 1) / (config.max_steps - 1), 0, 1)
+
+    state, stats, rng = train_pstep(rng, state, batch, train_frac,
+                                    loss_threshold)
+    if config.enable_robustnerf_loss:
+      loss_threshold = stats['loss_threshold']
+
+    if step % config.gc_every == 0:
+      gc.collect()
+
+    # Training summaries (host 0 logs; all hosts execute eval renders).
+    if jax.process_index() == 0:
+      stats_buffer.append(stats)
+
+      if step == init_step or step % config.print_every == 0:
+        stats_buffer = jax.device_get(stats_buffer)
+        elapsed_time = time.time() - train_start_time
+        steps_per_sec = config.print_every / elapsed_time
+        rays_per_sec = config.batch_size * steps_per_sec
+
+        # Robust total-time accumulation, resilient to preemption.
+        total_time += int(round(TIME_PRECISION * elapsed_time))
+        total_steps += config.print_every
+        approx_total_time = int(round(step * total_time / total_steps))
+
+        # Transpose the stats buffer: key -> stacked array over steps.
+        import flax
+        fs = [flax.traverse_util.flatten_dict(s, sep='/')
+              for s in stats_buffer]
+        stats_stacked = {k: np.stack([f[k] for f in fs]) for k in fs[0]}
+
+        # Vector-valued stats become one stat per element.
+        stats_split = {}
+        for k, v in stats_stacked.items():
+          if v.ndim not in [1, 2] and v.shape[0] != len(stats_buffer):
+            raise ValueError('statistics must be of size [n], or [n, k].')
+          if v.ndim == 1:
+            stats_split[k] = v
+          elif v.ndim == 2:
+            for i, vi in enumerate(tuple(v.T)):
+              stats_split[f'{k}/{i}'] = vi
+
+        for k, v in stats_split.items():
+          summary_writer.histogram('train_' + k, v, step)
+
+        avg_stats = {k: np.mean(v) for k, v in stats_split.items()}
+        max_stats = {k: np.max(v) for k, v in stats_split.items()}
+
+        summ_fn = lambda s, v: summary_writer.scalar(s, v, step)  # pylint: disable=cell-var-from-loop
+        for k, v in avg_stats.items():
+          summ_fn(f'train_avg_{k}', v)
+        for k, v in max_stats.items():
+          summ_fn(f'train_max_{k}', v)
+
+        summ_fn('train_num_params', num_params)
+        summ_fn('train_learning_rate', learning_rate)
+        summ_fn('train_steps_per_sec', steps_per_sec)
+        summ_fn('train_rays_per_sec', rays_per_sec)
+
+        summary_writer.scalar('train_avg_psnr_timed', avg_stats['psnr'],
+                              total_time // TIME_PRECISION)
+        summary_writer.scalar('train_avg_psnr_timed_approx',
+                              avg_stats['psnr'],
+                              approx_total_time // TIME_PRECISION)
+
+        if dataset.metadata is not None and model.learned_exposure_scaling:
+          params = jax.device_get(state.params)['params']
+          scalings = params['exposure_scaling_offsets']['embedding'][0]
+          num_shutter_speeds = dataset.metadata['unique_shutters'].shape[0]
+          for i_s in range(num_shutter_speeds):
+            for j_s, value in enumerate(scalings[i_s]):
+              summary_writer.scalar(f'exposure/scaling_{i_s}_{j_s}', value,
+                                    step)
+
+        precision = int(np.ceil(np.log10(config.max_steps))) + 1
+        avg_loss = avg_stats['loss']
+        avg_psnr = avg_stats['psnr']
+        str_losses = {  # Print each "losses/x" field as "x[:4]".
+            k[7:11]: (f'{v:0.5f}' if 1e-4 <= v < 10 else f'{v:0.1e}')
+            for k, v in avg_stats.items() if k.startswith('losses/')
+        }
+        print(f'{step:{precision}d}' + f'/{config.max_steps:d}: ' +
+              f'loss={avg_loss:0.5f}, ' + f'psnr={avg_psnr:6.3f}, ' +
+              f'lr={learning_rate:0.2e} | ' +
+              ', '.join([f'{k}={s}' for k, s in str_losses.items()]) +
+              f', {rays_per_sec:0.0f} r/s')
+
+        reset_stats = True
+
+      if step == 1 or step % config.checkpoint_every == 0:
+        ckpt.save(step, jax.device_get(state))
+
+    # In-train test-set render.
+    if config.train_render_every > 0 and step % config.train_render_every == 0:
+      eval_start_time = time.time()
+      eval_variables = state.params
+      test_case = next(test_dataset)
+      rendering = models.render_image(
+          functools.partial(render_eval_pfn, eval_variables, train_frac),
+          test_case.rays, rng, config)
+
+      if jax.process_index() == 0:
+        eval_time = time.time() - eval_start_time
+        num_rays = int(np.prod(test_case.rays.directions.shape[:-1]))
+        rays_per_sec = num_rays / eval_time
+        summary_writer.scalar('test_rays_per_sec', rays_per_sec, step)
+        print(f'Eval {step}: {eval_time:0.3f}s., {rays_per_sec:0.0f} rays/sec')
+
+        metric_start_time = time.time()
+        metric = metric_harness(
+            postprocess_fn(rendering['rgb']), postprocess_fn(test_case.rgb))
+        print(f'Metrics computed in {(time.time() - metric_start_time):0.3f}s')
+        for name, val in metric.items():
+          if not np.isnan(val):
+            print(f'{name} = {val:.4f}')
+            summary_writer.scalar('train_metrics/' + name, val, step)
+
+        if config.vis_decimate > 1:
+          d = config.vis_decimate
+          decimate_fn = lambda x, d=d: None if x is None else x[::d, ::d]
+        else:
+          decimate_fn = lambda x: x
+        rendering = jax.tree_util.tree_map(decimate_fn, rendering)
+        test_case = jax.tree_util.tree_map(decimate_fn, test_case)
+        vis_start_time = time.time()
+        vis_suite = vis.visualize_suite(rendering, test_case.rays)
+        print(f'Visualized in {(time.time() - vis_start_time):0.3f}s')
+        if config.rawnerf_mode:
+          vis_suite['color_raw'] = rendering['rgb']
+          vis_suite['color_auto'] = postprocess_fn(rendering['rgb'], None)
+          summary_writer.image('test_true_auto',
+                               postprocess_fn(test_case.rgb, None), step)
+          exposures = test_dataset.metadata['exposure_levels']
+          for p, x in list(exposures.items()):
+            vis_suite[f'color/{p}'] = postprocess_fn(rendering['rgb'], x)
+            summary_writer.image(f'test_true_color/{p}',
+                                 postprocess_fn(test_case.rgb, x), step)
+        summary_writer.image('test_true_color', test_case.rgb, step)
+        if config.compute_normal_metrics:
+          summary_writer.image('test_true_normals',
+                               test_case.normals / 2.0 + 0.5, step)
+        for k, v in vis_suite.items():
+          summary_writer.image('test_output_' + k, v, step)
+
+  if jax.process_index() == 0 and config.max_steps % config.checkpoint_every != 0:
+    ckpt.save(config.max_steps, jax.device_get(state))
+  ckpt.wait_until_finished()
+
+
+if __name__ == '__main__':
+  app.run(main)
