@@ -1,0 +1,138 @@
+"""Benchmark: full mip-NeRF 360 train-step throughput on real hardware.
+
+Measures train rays/sec/chip for the flagship 360.gin configuration
+(3-level proposal hierarchy, contraction warp, 8x1024 NerfMLP, batch 16384)
+on whatever devices are attached — the directly comparable counter to the
+reference's ``train_rays_per_sec`` TensorBoard scalar (google-research/
+multinerf train.py:185-186).
+
+``vs_baseline`` is the speedup over the *reference algorithm* run through
+the same harness on the same chip: the reference's autodiff-linearized
+contraction warp (coord.py:39-60 there) instead of this framework's analytic
+Jacobian path, with everything else equal.  As more of the hot path moves
+into fused Pallas kernels this ratio is the honest "vs reference" number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# The reference's batch_size=16384 is a GLOBAL batch spread over a pod by
+# pmap; one v5e chip (16G HBM) holds a 4096-ray share of it.  Throughput is
+# reported per chip, so the comparison stays apples-to-apples.
+PER_CHIP_BATCH = 4096
+BATCH_SIZE = PER_CHIP_BATCH * jax.device_count()
+WARMUP_STEPS = 5
+TIMED_STEPS = 20
+
+
+def build(config_overrides, gin_overrides):
+  from multinerf_tpu import configs as configs_lib
+  from multinerf_tpu import ginlite
+  from multinerf_tpu import train_lib
+  from multinerf_tpu.data import types
+  from multinerf_tpu.parallel import mesh as mesh_lib
+
+  ginlite.clear_config()
+  bindings = [
+      # configs/360.gin model settings.
+      'Model.raydist_fn = @jnp.reciprocal',
+      'Model.opaque_background = True',
+      'PropMLP.warp_fn = @coord.contract',
+      'PropMLP.net_depth = 4',
+      'PropMLP.net_width = 256',
+      'PropMLP.disable_density_normals = True',
+      'PropMLP.disable_rgb = True',
+      'NerfMLP.warp_fn = @coord.contract',
+      'NerfMLP.net_depth = 8',
+      'NerfMLP.net_width = 1024',
+      'NerfMLP.disable_density_normals = True',
+  ] + gin_overrides
+  ginlite.parse_config_files_and_bindings([], bindings)
+  kwargs = dict(near=0.2, far=1e6, batch_size=BATCH_SIZE)
+  kwargs.update(config_overrides)
+  config = configs_lib.Config(**kwargs)
+
+  mesh = mesh_lib.create_mesh()
+  rng = jax.random.PRNGKey(0)
+  _, state, _, train_pstep, _ = train_lib.setup_model(config, rng, mesh=mesh)
+  state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+  # Synthetic batch with realistic ray geometry.
+  rs = np.random.RandomState(0)
+  d = rs.randn(BATCH_SIZE, 3).astype(np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  rays = types.Rays(
+      origins=rs.randn(BATCH_SIZE, 3).astype(np.float32) * 0.1,
+      directions=d,
+      viewdirs=d,
+      radii=np.full((BATCH_SIZE, 1), 1e-3, np.float32),
+      imageplane=np.zeros((BATCH_SIZE, 2), np.float32),
+      lossmult=np.ones((BATCH_SIZE, 1), np.float32),
+      near=np.full((BATCH_SIZE, 1), 0.2, np.float32),
+      far=np.full((BATCH_SIZE, 1), 1e6, np.float32),
+      cam_idx=np.zeros((BATCH_SIZE, 1), np.int32),
+  )
+  batch = types.Batch(rays=rays,
+                      rgb=rs.rand(BATCH_SIZE, 3).astype(np.float32))
+  batch = mesh_lib.shard_batch_to_global(mesh, batch)
+  return state, train_pstep, batch
+
+
+def time_variant(state, train_pstep, batch, windows=2):
+  """Best-of-N timing windows.
+
+  Sync protocol: steps are chained through the state/rng data dependency and
+  each window ends with ONE scalar host fetch.  (On the axon tunnel platform
+  block_until_ready does not actually block, so a fetch is the only true
+  synchronization; chaining amortizes its ~40ms round-trip.)
+  """
+  rng = jax.random.PRNGKey(1)
+  for _ in range(WARMUP_STEPS):
+    state, stats, rng = train_pstep(rng, state, batch, 0.5, 1.0)
+  float(stats['loss'])
+  best = 0.0
+  for _ in range(windows):
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+      state, stats, rng = train_pstep(rng, state, batch, 0.5, 1.0)
+    float(stats['loss'])  # Single sync point per window.
+    dt = time.perf_counter() - t0
+    best = max(best, BATCH_SIZE * TIMED_STEPS / dt)
+  return best
+
+
+def main():
+  # Optimized path: analytic contraction Jacobian (ops.coord fast path).
+  state, step_fn, batch = build({}, [])
+  rays_per_sec = time_variant(state, step_fn, batch)
+
+  # Reference-algorithm path: jax.linearize'd contraction, as in the
+  # reference coord.py:39-60.  A lambda wrapper defeats the analytic
+  # dispatch in track_linearize, forcing the generic autodiff path.
+  from multinerf_tpu import ginlite
+  from multinerf_tpu.ops import coord
+  ginlite.register_external('bench.contract_ref',
+                            lambda x: coord.contract(x))
+  state_b, step_fn_b, batch_b = build({}, [
+      'PropMLP.warp_fn = @bench.contract_ref',
+      'NerfMLP.warp_fn = @bench.contract_ref',
+  ])
+  baseline_rays_per_sec = time_variant(state_b, step_fn_b, batch_b)
+
+  n_chips = jax.device_count()
+  print(json.dumps({
+      'metric': 'train_rays_per_sec_per_chip_360',
+      'value': round(rays_per_sec / n_chips, 1),
+      'unit': 'rays/sec/chip',
+      'vs_baseline': round(rays_per_sec / baseline_rays_per_sec, 3),
+  }))
+
+
+if __name__ == '__main__':
+  main()
