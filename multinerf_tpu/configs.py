@@ -61,6 +61,11 @@ class Config:
   compute_disp_metrics: bool = False  # Load/compute disparity MSE.
   compute_normal_metrics: bool = False  # Load/compute normal MAE.
   gc_every: int = 10000  # Steps between manual garbage collections.
+  # First-class profiling (the reference has none, SURVEY.md section 5.1):
+  # capture a jax.profiler trace of steps [profile_step, profile_step +
+  # profile_num_steps) into checkpoint_dir/profile. 0 disables.
+  profile_step: int = 0
+  profile_num_steps: int = 3
   disable_multiscale_loss: bool = False  # Disable multiscale loss weighting.
   randomized: bool = True  # Use randomized stratified sampling.
   near: float = 2.0  # Near plane distance.
@@ -82,6 +87,10 @@ class Config:
   print_every: int = 100  # Steps between TB/console reports.
   train_render_every: int = 5000  # Steps between in-train test renders.
   cast_rays_in_train_step: bool = False  # Cast rays on device in the step.
+  # Fully device-resident data plane: images live in HBM, pixel sampling +
+  # RGB gather + ray casting all happen inside the jitted train step; the
+  # host feeds nothing per step (extension of cast_rays_in_train_step).
+  device_data_plane: bool = False
   data_loss_type: str = 'charb'  # mse | charb | rawnerf | robustnerf.
   charb_padding: float = 0.001  # Charbonnier padding.
   data_loss_mult: float = 1.0  # Mult for the finest data loss.

@@ -170,10 +170,12 @@ def read_cameras_txt(path: str) -> Mapping[int, Camera]:
 def read_images_txt(path: str) -> Mapping[int, Image]:
   images = {}
   with open(path) as f:
-    lines = [ln.strip() for ln in f
-             if ln.strip() and not ln.startswith('#')]
-  # Two lines per image: metadata, then the 2D point list (ignored).
+    # Two lines per image: metadata, then the 2D point list (which may be
+    # completely empty, so pairing must keep blank lines).
+    lines = [ln.strip() for ln in f if not ln.startswith('#')]
   for meta in lines[0::2]:
+    if not meta:
+      continue
     parts = meta.split()
     image_id = int(parts[0])
     qvec = [float(x) for x in parts[1:5]]

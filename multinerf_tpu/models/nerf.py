@@ -57,6 +57,9 @@ class Model(nn.Module):
   single_mlp: bool = False  # Use NerfMLP for proposal levels too.
   resample_padding: float = 0.0  # Histogram padding during resampling.
   use_gpu_resampling: bool = False  # Gather-based resampling (GPU-fast).
+  # Fused Pallas resampling kernel: None = auto (on for TPU backends),
+  # True/False to force.  Bit-compatible with the jnp path (tested).
+  use_fused_resampling: Optional[bool] = None
   opaque_background: bool = False  # Treat background as opaque.
 
   @nn.compact
@@ -147,11 +150,27 @@ class Model(nn.Module):
           anneal * jnp.log(weights + self.resample_padding), -jnp.inf)
 
       key, rng = random_split(rng)
-      sdist = stepfun.sample_intervals(
-          key, sdist, logits_resample, num_samples,
-          single_jitter=self.single_jitter,
-          domain=(init_s_near, init_s_far),
-          use_gpu_resampling=self.use_gpu_resampling)
+      use_fused = self.use_fused_resampling
+      if use_fused is None:
+        # Auto: on for TPU-like backends ('tpu', or tunneled plugins).
+        use_fused = jax.default_backend() in ('tpu', 'axon')
+      # The kernel needs a static domain; near annealing makes it traced.
+      # It also cuts gradients at its inputs (no autodiff rule), which is
+      # only correct under stop_level_grad.
+      if self.near_anneal_rate is not None or not self.stop_level_grad:
+        use_fused = False
+      if use_fused and not self.use_gpu_resampling:
+        from multinerf_tpu.ops.pallas import resample as pallas_resample
+        sdist = pallas_resample.sample_intervals_fused(
+            key, sdist, logits_resample, num_samples,
+            single_jitter=self.single_jitter,
+            domain=(init_s_near, init_s_far))
+      else:
+        sdist = stepfun.sample_intervals(
+            key, sdist, logits_resample, num_samples,
+            single_jitter=self.single_jitter,
+            domain=(init_s_near, init_s_far),
+            use_gpu_resampling=self.use_gpu_resampling)
 
       # Gradients through sampling destabilize optimization.
       if self.stop_level_grad:

@@ -230,12 +230,14 @@ def create_optimizer(config, variables) -> Tuple[TrainState, Callable]:
 # --- Train / eval step factories. ---------------------------------------------------
 
 
-def create_train_step(model, config, mesh, dataset=None):
+def create_train_step(model, config, mesh, dataset=None, jit=True):
   """Build the jitted SPMD training step.
 
   The returned function takes and returns *global* arrays laid out on
   `mesh`: state/rng replicated, batch sharded along the data axis.  The
-  gradient all-reduce is inserted by GSPMD, riding ICI.
+  gradient all-reduce is inserted by GSPMD, riding ICI.  With jit=False the
+  raw python step is returned for embedding into a larger jit (the
+  device-resident data plane wraps it with on-device batch sampling).
   """
   if dataset is None:
     camtype = camera_lib.ProjectionType.PERSPECTIVE
@@ -318,6 +320,8 @@ def create_train_step(model, config, mesh, dataset=None):
     stats['psnr'] = stats['psnrs'][-1]
     return new_state, stats, rng
 
+  if not jit:
+    return train_step
   repl = mesh_lib.replicated(mesh)
   data = mesh_lib.data_sharding(mesh)
   train_pstep = jax.jit(

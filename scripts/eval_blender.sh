@@ -1,0 +1,14 @@
+#!/bin/bash
+# Evaluate a checkpoint trained on Blender synthetic scenes.
+# Usage: SCENE=<scene> DATA_DIR=<data root> ./scripts/eval_blender.sh
+
+SCENE=${SCENE:-gardenvase}
+EXPERIMENT=${EXPERIMENT:-blender}
+DATA_DIR=${DATA_DIR:?set DATA_DIR to the dataset root}
+CHECKPOINT_DIR=${CHECKPOINT_DIR:-results/"$EXPERIMENT"/"$SCENE"}
+
+python -m eval \
+  --gin_configs=configs/blender_256.gin \
+  --gin_bindings="Config.data_dir = '${DATA_DIR}/${SCENE}'" \
+  --gin_bindings="Config.checkpoint_dir = '${CHECKPOINT_DIR}'" \
+  --logtostderr

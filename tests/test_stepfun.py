@@ -79,6 +79,40 @@ def test_inner_outer_bounds():
   np.testing.assert_allclose(inner, want_inner, atol=1e-5)
 
 
+def test_outer_measure_matches_inner_outer():
+  """The one-pass outer measure == the cumsum/gather formulation."""
+  rng = np.random.RandomState(12)
+  t1, y1 = _random_stepfun(rng, 16, 12)
+  t0 = np.sort(rng.rand(16, 9) * 4 - 2, axis=-1).astype(np.float32)
+  _, want = stepfun.inner_outer(jnp.array(t0), jnp.array(t1), jnp.array(y1))
+  got = stepfun.outer_measure(jnp.array(t0), jnp.array(t1), jnp.array(y1))
+  np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-5,
+                             atol=1e-6)
+  # Including exactly-shared endpoints (the training case: both step
+  # functions span [0, 1]).
+  t0s = np.sort(rng.rand(8, 9), -1).astype(np.float32)
+  t1s = np.sort(rng.rand(8, 13), -1).astype(np.float32)
+  for t in (t0s, t1s):
+    t[:, 0] = 0.0
+    t[:, -1] = 1.0
+  y1s = rng.rand(8, 12).astype(np.float32)
+  _, want = stepfun.inner_outer(jnp.array(t0s), jnp.array(t1s),
+                                jnp.array(y1s))
+  got = stepfun.outer_measure(jnp.array(t0s), jnp.array(t1s), jnp.array(y1s))
+  np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-5,
+                             atol=1e-6)
+  # Degenerate (zero-width) bins in either function.
+  t_deg = np.repeat(np.sort(rng.rand(4, 5), -1), 2, axis=-1).astype(
+      np.float32)[:, :9]
+  y_deg = rng.rand(4, 8).astype(np.float32)
+  _, want = stepfun.inner_outer(jnp.array(t0s[:4]), jnp.array(t_deg),
+                                jnp.array(y_deg))
+  got = stepfun.outer_measure(jnp.array(t0s[:4]), jnp.array(t_deg),
+                              jnp.array(y_deg))
+  np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-5,
+                             atol=1e-6)
+
+
 def test_lossfun_outer_zero_when_enveloped():
   """If the envelope strictly dominates, the loss must vanish."""
   rng = np.random.RandomState(3)

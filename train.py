@@ -13,6 +13,7 @@ arrays with one-step host->device prefetch.
 
 import functools
 import gc
+import os
 import time
 
 from absl import app
@@ -71,6 +72,14 @@ def main(unused_argv):
   setup = train_lib.setup_model(config, key, mesh=mesh, dataset=dataset)
   model, state, render_eval_pfn, train_pstep, lr_fn = setup
 
+  device_plane = None
+  if config.device_data_plane:
+    # Keep the whole image set in HBM; batches are drawn inside the step.
+    from multinerf_tpu.data import device_sampler
+    device_plane = device_sampler.DeviceDataPlane(dataset, config, mesh)
+    train_pstep_device = device_sampler.create_device_train_step(
+        model, config, device_plane, mesh)
+
   num_params = train_lib.tree_len(state.params)
   print(f'Number of parameters being optimized: {num_params}')
 
@@ -95,7 +104,11 @@ def main(unused_argv):
         for k in ['exposure_idx', 'exposure_values', 'unique_shutters']:
           summary_writer.text(f'{name}_{k}', str(data.metadata[k]), 0)
 
-  pdataset = prefetch_to_mesh(iter(dataset), mesh, 2)
+  if device_plane is None:
+    pdataset = prefetch_to_mesh(iter(dataset), mesh, 2)
+  else:
+    import itertools
+    pdataset = itertools.repeat(None)  # The step samples its own batches.
   rng = jax.random.fold_in(rng, jax.process_index())
   gc.disable()  # Avoid GC jitter in the hot loop.
   total_time = 0
@@ -113,11 +126,23 @@ def main(unused_argv):
       train_start_time = time.time()
       reset_stats = False
 
+    # Optional jax.profiler capture window.
+    if config.profile_step > 0 and step == config.profile_step:
+      jax.profiler.start_trace(
+          os.path.join(config.checkpoint_dir, 'profile'))
+    if (config.profile_step > 0 and
+        step == config.profile_step + config.profile_num_steps):
+      jax.profiler.stop_trace()
+
     learning_rate = lr_fn(step)
     train_frac = jnp.clip((step - 1) / (config.max_steps - 1), 0, 1)
 
-    state, stats, rng = train_pstep(rng, state, batch, train_frac,
-                                    loss_threshold)
+    if device_plane is None:
+      state, stats, rng = train_pstep(rng, state, batch, train_frac,
+                                      loss_threshold)
+    else:
+      state, stats, rng = train_pstep_device(rng, state, train_frac,
+                                             loss_threshold)
     if config.enable_robustnerf_loss:
       loss_threshold = stats['loss_threshold']
 
