@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import sys as _sys
+_sys.path.insert(0, __file__.rsplit('/', 1)[0])
+from multinerf_tpu.utils import cache as _cache
+_cache.enable_persistent_compilation_cache()
+
 # The reference's batch_size=16384 is a GLOBAL batch spread over a pod by
 # pmap; one v5e chip (16G HBM) holds a 4096-ray share of it.  Throughput is
 # reported per chip, so the comparison stays apples-to-apples.
@@ -112,18 +117,18 @@ def main():
   state, step_fn, batch = build({}, [])
   rays_per_sec = time_variant(state, step_fn, batch)
 
-  # Reference-algorithm path: jax.linearize'd contraction, as in the
-  # reference coord.py:39-60.  A lambda wrapper defeats the analytic
-  # dispatch in track_linearize, forcing the generic autodiff path.
-  from multinerf_tpu import ginlite
-  from multinerf_tpu.ops import coord
-  ginlite.register_external('bench.contract_ref',
-                            lambda x: coord.contract(x))
-  state_b, step_fn_b, batch_b = build({}, [
-      'PropMLP.warp_fn = @bench.contract_ref',
-      'NerfMLP.warp_fn = @bench.contract_ref',
-  ])
-  baseline_rays_per_sec = time_variant(state_b, step_fn_b, batch_b)
+  # Reference-algorithm path: the env toggle selects the reference's
+  # formulations throughout (autodiff-linearized contraction coord.py:39-60,
+  # composed lift+IPE coord.py:107-133, searchsorted+gather proposal loss
+  # stepfun.py:64-87 — cited lines in google-research/multinerf), traced
+  # into an otherwise identical training step on the same hardware.
+  import os
+  os.environ['MULTINERF_REFERENCE_ALGOS'] = '1'
+  try:
+    state_b, step_fn_b, batch_b = build({}, [])
+    baseline_rays_per_sec = time_variant(state_b, step_fn_b, batch_b)
+  finally:
+    del os.environ['MULTINERF_REFERENCE_ALGOS']
 
   n_chips = jax.device_count()
   print(json.dumps({

@@ -33,6 +33,9 @@ from multinerf_tpu.utils import visualize as vis
 configs.define_common_flags()
 jax.config.parse_flags_with_absl()
 
+from multinerf_tpu.utils import cache as _cache
+_cache.enable_persistent_compilation_cache()
+
 
 def main(unused_argv):
   config = configs.load_config(save_config=False)

@@ -57,9 +57,9 @@ class Model(nn.Module):
   single_mlp: bool = False  # Use NerfMLP for proposal levels too.
   resample_padding: float = 0.0  # Histogram padding during resampling.
   use_gpu_resampling: bool = False  # Gather-based resampling (GPU-fast).
-  # Fused Pallas resampling kernel: None = auto (on for TPU backends),
-  # True/False to force.  Bit-compatible with the jnp path (tested).
-  use_fused_resampling: Optional[bool] = None
+  # Experimental fused Pallas resampling kernel (equivalence-tested against
+  # the jnp path; currently performance-neutral in-context, so opt-in).
+  use_fused_resampling: Optional[bool] = False
   opaque_background: bool = False  # Treat background as opaque.
 
   @nn.compact
@@ -150,10 +150,9 @@ class Model(nn.Module):
           anneal * jnp.log(weights + self.resample_padding), -jnp.inf)
 
       key, rng = random_split(rng)
-      use_fused = self.use_fused_resampling
-      if use_fused is None:
-        # Auto: on for TPU-like backends ('tpu', or tunneled plugins).
-        use_fused = jax.default_backend() in ('tpu', 'axon')
+      # The Pallas resampling kernel currently matches (not beats) XLA on
+      # this chain in-context, so it stays opt-in.
+      use_fused = bool(self.use_fused_resampling)
       # The kernel needs a static domain; near annealing makes it traced.
       # It also cuts gradients at its inputs (no autodiff rule), which is
       # only correct under stop_level_grad.

@@ -93,8 +93,15 @@ def lossfun_outer(t, w, t_env, w_env, eps=_F32_EPS):
 
   Half-quadratic in (w - w_outer), scaled by 1/w to give a constant gradient
   as w_outer -> 0 (reference stepfun.py:80-87).
+
+  MULTINERF_REFERENCE_ALGOS=1 selects the reference's cumsum + searchsorted
+  + gather formulation (bench.py uses it as the honest baseline).
   """
-  w_outer = outer_measure(t, t_env, w_env)
+  import os
+  if os.environ.get('MULTINERF_REFERENCE_ALGOS') == '1':
+    _, w_outer = inner_outer(t, t_env, w_env)
+  else:
+    w_outer = outer_measure(t, t_env, w_env)
   return jnp.maximum(0, w - w_outer) ** 2 / (w + eps)
 
 

@@ -29,6 +29,9 @@ from multinerf_tpu.utils import visualize as vis
 configs.define_common_flags()
 jax.config.parse_flags_with_absl()
 
+from multinerf_tpu.utils import cache as _cache
+_cache.enable_persistent_compilation_cache()
+
 
 def create_videos(config, base_dir, out_dir, out_name, num_frames):
   """Assemble the saved frames into per-channel videos."""

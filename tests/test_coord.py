@@ -112,6 +112,30 @@ def test_integrated_pos_enc_attenuates_with_var():
   assert float(jnp.mean(jnp.abs(hi))) < float(jnp.mean(jnp.abs(lo)))
 
 
+def test_integrated_pos_enc_lifted_matches_composed():
+  """Folded-scaling featurization == lift_and_diagonalize + IPE."""
+  rng = np.random.RandomState(8)
+  mean = (rng.randn(64, 3) * 2).astype(np.float32)
+  a = rng.randn(64, 3, 3).astype(np.float32) * 0.05
+  cov = a @ np.swapaxes(a, -1, -2)
+  basis = rng.randn(3, 7).astype(np.float32)
+  lm, lv = coord.lift_and_diagonalize(jnp.array(mean), jnp.array(cov),
+                                      jnp.array(basis))
+  want = coord.integrated_pos_enc(lm, lv, 0, 8)
+  got = coord.integrated_pos_enc_lifted(jnp.array(mean), jnp.array(cov),
+                                        basis, 0, 8)
+  # f32 summation-order noise is amplified by the 2^d frequency scaling.
+  np.testing.assert_allclose(np.array(got), np.array(want), atol=2e-4)
+  # Gradients flow (Ref-NeRF path) and match.
+  g_want = jax.grad(lambda m: coord.integrated_pos_enc(
+      *coord.lift_and_diagonalize(m, jnp.array(cov), jnp.array(basis)),
+      0, 4).sum())(jnp.array(mean))
+  g_got = jax.grad(lambda m: coord.integrated_pos_enc_lifted(
+      m, jnp.array(cov), basis, 0, 4).sum())(jnp.array(mean))
+  np.testing.assert_allclose(np.array(g_got), np.array(g_want), rtol=1e-3,
+                             atol=1e-3)
+
+
 def test_lift_and_diagonalize():
   rng = np.random.RandomState(7)
   mean = rng.randn(16, 3).astype(np.float32)

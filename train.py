@@ -35,6 +35,9 @@ from multinerf_tpu.utils import visualize as vis
 configs.define_common_flags()
 jax.config.parse_flags_with_absl()
 
+from multinerf_tpu.utils import cache as _cache
+_cache.enable_persistent_compilation_cache()
+
 TIME_PRECISION = 1000  # Integer times are in milliseconds.
 
 
