@@ -392,7 +392,12 @@ class LLFF(Dataset):
       colmap_to_image = dict(zip(colmap_files, image_files))
       image_paths = [os.path.join(image_dir, colmap_to_image[f])
                      for f in image_names]
-      images = np.stack([io_lib.load_img(x) for x in image_paths], axis=0)
+      # PNG/JPEG decode releases the GIL; threads cut scene load time by
+      # roughly the core count on the big 360 captures.
+      import concurrent.futures
+      with concurrent.futures.ThreadPoolExecutor() as pool:
+        images = np.stack(list(pool.map(io_lib.load_img, image_paths)),
+                          axis=0)
       images = images / 255.0
 
       # EXIF (exposure) data lives in the original JPEGs.

@@ -283,7 +283,7 @@ def construct_model(rng, rays, config):
 
 
 def render_image(render_fn, rays: types.Rays, rng, config,
-                 verbose: bool = True):
+                 verbose: bool = True, mesh=None):
   """Render all pixels of an image by driving a jitted chunk renderer.
 
   Args:
@@ -293,6 +293,9 @@ def render_image(render_fn, rays: types.Rays, rng, config,
     rng: rng or None.
     config: Config (render_chunk_size, vis_num_rays).
     verbose: print progress.
+    mesh: required under multi-process JAX — each process passes the full
+      image rays and chunks are assembled into global arrays
+      (every process must call this; results are addressable on all).
 
   Returns:
     dict of [H, W, c] image buffers plus 'ray_' visualization bundles.
@@ -300,6 +303,10 @@ def render_image(render_fn, rays: types.Rays, rng, config,
   height, width = rays.origins.shape[:2]
   num_rays = height * width
   rays = jax.tree_util.tree_map(lambda r: r.reshape((num_rays, -1)), rays)
+
+  multiprocess = jax.process_count() > 1
+  if multiprocess and mesh is None:
+    raise ValueError('render_image requires `mesh` under multi-process JAX.')
 
   # Chunks must be divisible by the device count for even sharding.
   chunk_size = config.render_chunk_size
@@ -318,6 +325,17 @@ def render_image(render_fn, rays: types.Rays, rng, config,
       chunk_rays = jax.tree_util.tree_map(
           lambda r: jnp.pad(r, ((0, padding), (0, 0)), mode='edge'),
           chunk_rays)
+
+    if multiprocess:
+      # Every process holds the same full-image rays; carve out this
+      # process's slice and assemble the global sharded chunk.
+      from multinerf_tpu.parallel import mesh as mesh_lib
+      import numpy as np
+      per_proc = chunk_rays.origins.shape[0] // jax.process_count()
+      start = jax.process_index() * per_proc
+      local = jax.tree_util.tree_map(
+          lambda r: np.asarray(r[start:start + per_proc]), chunk_rays)
+      chunk_rays = mesh_lib.shard_batch_to_global(mesh, local)
 
     chunk_renderings, _ = render_fn(rng, chunk_rays)
     chunk_renderings = jax.device_get(chunk_renderings)
