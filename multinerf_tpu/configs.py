@@ -91,6 +91,10 @@ class Config:
   # RGB gather + ray casting all happen inside the jitted train step; the
   # host feeds nothing per step (extension of cast_rays_in_train_step).
   device_data_plane: bool = False
+  # With the device data plane: run this many whole optimizer steps per jit
+  # call as one lax.scan (removes per-step host dispatch). Must divide
+  # print_every, checkpoint_every, train_render_every, and gc_every.
+  steps_per_jit_call: int = 1
   data_loss_type: str = 'charb'  # mse | charb | rawnerf | robustnerf.
   charb_padding: float = 0.001  # Charbonnier padding.
   data_loss_mult: float = 1.0  # Mult for the finest data loss.

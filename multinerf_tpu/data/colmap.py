@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Mapping, Optional, Sequence, Tuple
+from typing import Mapping, Optional, Tuple
 
 import numpy as np
 

@@ -25,8 +25,6 @@ import json
 import os
 import queue
 import threading
-from typing import Optional, Union
-
 import jax
 import numpy as np
 

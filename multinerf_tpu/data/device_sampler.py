@@ -19,8 +19,6 @@ Generalizes the reference's ``cast_rays_in_train_step`` fast path
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -102,7 +100,6 @@ class DeviceDataPlane:
     broadcast_scalar = lambda x: jnp.broadcast_to(
         x, (n_patches, ps, ps))[..., None]
     if self._apply_bayer_mask:
-      from multinerf_tpu.data import raw as raw_lib
       r = ((pix_x % 2 == 0) & (pix_y % 2 == 0))
       g = (((pix_x % 2 == 1) & (pix_y % 2 == 0)) |
            ((pix_x % 2 == 0) & (pix_y % 2 == 1)))
@@ -148,4 +145,43 @@ def create_device_train_step(model, config, plane: DeviceDataPlane, mesh):
 
   repl = mesh_lib.replicated(mesh)
   return jax.jit(step, in_shardings=(repl, None, None, None),
+                 donate_argnums=(0, 1))
+
+
+def create_scan_train_step(model, config, plane: DeviceDataPlane, mesh,
+                           num_steps: int):
+  """Jit `num_steps` whole optimizer steps as ONE lax.scan.
+
+  Only possible with the device data plane (no per-step host input): the
+  scan body samples its batch, runs fwd/bwd/adam, and threads state + rng.
+  Removes all per-step host dispatch; stats come back stacked [num_steps,...]
+  (the caller's print window should be a multiple of num_steps).
+
+  train_frac is interpolated linearly across the inner steps from the
+  (start_step, max_steps) pair passed at call time.
+  """
+  from multinerf_tpu import train_lib
+  from multinerf_tpu.parallel import mesh as mesh_lib
+
+  base_step = train_lib.create_train_step(model, config, mesh, jit=False)
+
+  def multi_step(rng, state, start_step, loss_threshold):
+    def body(carry, i):
+      rng, state, loss_threshold = carry
+      rng, key = jax.random.split(rng)
+      batch = plane.sample_batch(key)
+      train_frac = jnp.clip((start_step + i - 1) / (config.max_steps - 1),
+                            0, 1)
+      state, stats, rng = base_step(rng, state, batch, train_frac,
+                                    loss_threshold)
+      if config.enable_robustnerf_loss:
+        loss_threshold = stats['loss_threshold']
+      return (rng, state, loss_threshold), stats
+
+    (rng, state, loss_threshold), stats = jax.lax.scan(
+        body, (rng, state, loss_threshold), jnp.arange(num_steps))
+    return state, stats, rng, loss_threshold
+
+  repl = mesh_lib.replicated(mesh)
+  return jax.jit(multi_step, in_shardings=(repl, None, None, None),
                  donate_argnums=(0, 1))

@@ -25,7 +25,7 @@ import ast
 import dataclasses
 import os
 import re
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 # target name -> {param name -> value}
 _BINDINGS: Dict[str, Dict[str, Any]] = {}

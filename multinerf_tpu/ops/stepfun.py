@@ -19,8 +19,6 @@ against ``sample_intervals`` here.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

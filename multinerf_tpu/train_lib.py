@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import optax
 from flax.training.train_state import TrainState
 
-from multinerf_tpu import configs as configs_lib
 from multinerf_tpu import robust
 from multinerf_tpu.data import cameras as camera_lib
 from multinerf_tpu.data import types

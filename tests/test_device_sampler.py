@@ -106,3 +106,32 @@ def test_training_with_device_plane_decreases_loss():
     losses.append(float(stats['loss']))
   assert np.isfinite(losses).all()
   assert np.mean(losses[-8:]) < 0.8 * np.mean(losses[:4]), losses
+
+
+def test_scan_train_step_matches_single_steps():
+  """K scanned steps behave like K sequential steps (loss decreases)."""
+  _tiny_model_bindings()
+  config = configs_lib.Config(dataset_loader='dummy', batch_size=128,
+                              data_loss_type='mse', near=0.5, far=10.0,
+                              lr_init=2e-3, lr_final=2e-4, max_steps=64,
+                              lr_delay_steps=0, device_data_plane=True)
+  mesh = mesh_lib.create_mesh()
+  dataset = datasets.load_dataset('train', '', config)
+  rng = jax.random.PRNGKey(0)
+  model, state, _, _, _ = train_lib.setup_model(config, rng, mesh=mesh,
+                                                dataset=dataset)
+  plane = device_sampler.DeviceDataPlane(dataset, config, mesh)
+  scan_fn = device_sampler.create_scan_train_step(model, config, plane,
+                                                  mesh, num_steps=8)
+  state = jax.device_put(state, mesh_lib.replicated(mesh))
+  all_losses = []
+  loss_threshold = 1.0
+  for outer in range(8):
+    start_step = 1 + outer * 8
+    state, stats, rng, loss_threshold = scan_fn(rng, state, start_step,
+                                                loss_threshold)
+    losses = np.array(stats['loss'])
+    assert losses.shape == (8,)
+    all_losses.extend(losses.tolist())
+  assert np.isfinite(all_losses).all()
+  assert np.mean(all_losses[-16:]) < 0.8 * np.mean(all_losses[:8])

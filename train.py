@@ -23,7 +23,6 @@ import numpy as np
 from flax.metrics import tensorboard
 
 from multinerf_tpu import configs
-from multinerf_tpu import ginlite
 from multinerf_tpu import train_lib
 from multinerf_tpu.data import datasets
 from multinerf_tpu.models import nerf as models
@@ -76,12 +75,25 @@ def main(unused_argv):
   model, state, render_eval_pfn, train_pstep, lr_fn = setup
 
   device_plane = None
+  scan_steps = 1
   if config.device_data_plane:
     # Keep the whole image set in HBM; batches are drawn inside the step.
     from multinerf_tpu.data import device_sampler
     device_plane = device_sampler.DeviceDataPlane(dataset, config, mesh)
-    train_pstep_device = device_sampler.create_device_train_step(
-        model, config, device_plane, mesh)
+    scan_steps = max(1, config.steps_per_jit_call)
+    if scan_steps > 1:
+      for name in ['print_every', 'checkpoint_every', 'train_render_every',
+                   'gc_every']:
+        val = getattr(config, name)
+        if val > 0 and val % scan_steps:
+          raise ValueError(
+              f'{name}={val} must be a multiple of steps_per_jit_call='
+              f'{scan_steps}')
+      train_pstep_device = device_sampler.create_scan_train_step(
+          model, config, device_plane, mesh, num_steps=scan_steps)
+    else:
+      train_pstep_device = device_sampler.create_device_train_step(
+          model, config, device_plane, mesh)
 
   num_params = train_lib.tree_len(state.params)
   print(f'Number of parameters being optimized: {num_params}')
@@ -122,7 +134,11 @@ def main(unused_argv):
   else:
     num_steps = config.max_steps
   loss_threshold = 1.0
-  for step, batch in zip(range(init_step, num_steps + 1), pdataset):
+  for step0, batch in zip(range(init_step, num_steps + 1, scan_steps),
+                          pdataset):
+    # With scan_steps > 1, [step0, step] is the window of optimizer steps
+    # executed by this jit call; all cadence checks use the window end.
+    step = step0 + scan_steps - 1
 
     if reset_stats and (jax.process_index() == 0):
       stats_buffer = []
@@ -130,11 +146,11 @@ def main(unused_argv):
       reset_stats = False
 
     # Optional jax.profiler capture window.
-    if config.profile_step > 0 and step == config.profile_step:
+    if config.profile_step > 0 and step0 <= config.profile_step <= step:
       jax.profiler.start_trace(
           os.path.join(config.checkpoint_dir, 'profile'))
-    if (config.profile_step > 0 and
-        step == config.profile_step + config.profile_num_steps):
+    if (config.profile_step > 0 and step0 <=
+        config.profile_step + config.profile_num_steps <= step):
       jax.profiler.stop_trace()
 
     learning_rate = lr_fn(step)
@@ -143,10 +159,13 @@ def main(unused_argv):
     if device_plane is None:
       state, stats, rng = train_pstep(rng, state, batch, train_frac,
                                       loss_threshold)
+    elif scan_steps > 1:
+      state, stats, rng, loss_threshold = train_pstep_device(
+          rng, state, step0, loss_threshold)
     else:
       state, stats, rng = train_pstep_device(rng, state, train_frac,
                                              loss_threshold)
-    if config.enable_robustnerf_loss:
+    if config.enable_robustnerf_loss and scan_steps == 1:
       loss_threshold = stats['loss_threshold']
 
     if step % config.gc_every == 0:
@@ -154,9 +173,15 @@ def main(unused_argv):
 
     # Training summaries (host 0 logs; all hosts execute eval renders).
     if jax.process_index() == 0:
-      stats_buffer.append(stats)
+      if scan_steps > 1:
+        # Unstack the scanned window into per-step stats entries.
+        for i in range(scan_steps):
+          stats_buffer.append(
+              jax.tree_util.tree_map(lambda x, i=i: x[i], stats))
+      else:
+        stats_buffer.append(stats)
 
-      if step == init_step or step % config.print_every == 0:
+      if step0 == init_step or step % config.print_every == 0:
         stats_buffer = jax.device_get(stats_buffer)
         elapsed_time = time.time() - train_start_time
         steps_per_sec = config.print_every / elapsed_time
