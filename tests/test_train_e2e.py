@@ -171,3 +171,36 @@ def test_model_parallel_mesh_compiles():
   state, stats, _ = train_pstep(jax.random.PRNGKey(1), state, gbatch, 0.5,
                                 1.0)
   assert np.isfinite(float(stats['loss']))
+
+
+def test_robustnerf_training_path():
+  """Patch batches + robustnerf loss + threshold feedback loop."""
+  ginlite.clear_config()
+  ginlite.parse_config_files_and_bindings(
+      [], ['PropMLP.net_depth = 2', 'PropMLP.net_width = 16',
+           'NerfMLP.net_depth = 2', 'NerfMLP.net_width = 16',
+           'Model.num_prop_samples = 8', 'Model.num_nerf_samples = 4',
+           'Model.num_levels = 2'])
+  config = configs_lib.Config(
+      dataset_loader='dummy', batch_size=1024, patch_size=8,
+      data_loss_type='robustnerf', enable_robustnerf_loss=True,
+      robustnerf_inlier_quantile=0.8, robustnerf_inner_patch_size=4,
+      near=0.5, far=10.0, max_steps=20, lr_delay_steps=0)
+  mesh = mesh_lib.create_mesh()
+  dataset = datasets.load_dataset('train', '', config)
+  rng = jax.random.PRNGKey(0)
+  _, state, _, train_pstep, _ = train_lib.setup_model(
+      config, rng, mesh=mesh, dataset=dataset)
+  state = jax.device_put(state, mesh_lib.replicated(mesh))
+  loss_threshold = 1.0
+  thresholds = [loss_threshold]
+  for step, batch in zip(range(1, 6), dataset):
+    gbatch = mesh_lib.shard_batch_to_global(mesh, batch)
+    state, stats, rng = train_pstep(rng, state, gbatch, 0.5, loss_threshold)
+    # The threshold feedback loop: next threshold = this batch's quantile.
+    loss_threshold = float(stats['loss_threshold'])
+    thresholds.append(loss_threshold)
+    assert np.isfinite(float(stats['loss']))
+    assert 0 <= float(stats['mask']) <= 1
+  # Thresholds adapt (not stuck at the init value).
+  assert thresholds[-1] != 1.0
