@@ -227,3 +227,49 @@ def test_gradient_parity_with_reference():
     np.testing.assert_allclose(
         np.array(flat_our[key]), np.array(v_ref), rtol=1e-3, atol=1e-5,
         err_msg=key)
+
+
+def test_refnerf_forward_parity():
+  """Ref-NeRF wiring parity: density-gradient normals (sum-trick vs the
+  reference's per-sample vmapped value_and_grad), predicted normals,
+  reflections, n.v, diffuse/specular split.  (IDE is excluded: the
+  reference's SH coefficients use np.math, removed in numpy 2; our IDE is
+  scipy-verified in test_ref_utils.py.)"""
+  nerf_kw = dict(MLP_KW, disable_density_normals=False,
+                 enable_pred_normals=True, use_reflections=True,
+                 use_n_dot_v=True, use_diffuse_color=True,
+                 use_specular_tint=True, enable_pred_roughness=True)
+  prop_kw = dict(MLP_KW, disable_rgb=True)
+  model_kw = dict(MODEL_KW, single_mlp=False, anneal_slope=0.0,
+                  dilation_multiplier=0.0, dilation_bias=0.0)
+
+  ref_model, _ = _build_pair(model_kw, nerf_kw, prop_kw)
+  ginlite.clear_config()
+  _, our_model = _build_pair(model_kw, nerf_kw, prop_kw)
+
+  ref_rays, our_rays = _rays(seed=9)
+  variables = ref_model.init(jax.random.PRNGKey(11), rng=None, rays=ref_rays,
+                             train_frac=1.0, compute_extras=False,
+                             zero_glo=True)
+  ref_out, ref_hist = ref_model.apply(variables, None, ref_rays,
+                                      train_frac=1.0, compute_extras=False,
+                                      zero_glo=True)
+  our_out, our_hist = our_model.apply(variables, None, our_rays,
+                                      train_frac=1.0, compute_extras=False,
+                                      zero_glo=True)
+  final_ref, final_our = ref_hist[-1], our_hist[-1]
+  # The sum-trick density gradient equals the per-sample value_and_grad.
+  np.testing.assert_allclose(np.array(final_our['raw_grad_density']),
+                             np.array(final_ref['raw_grad_density']),
+                             rtol=1e-3, atol=1e-5)
+  np.testing.assert_allclose(np.array(final_our['normals']),
+                             np.array(final_ref['normals']),
+                             rtol=1e-3, atol=1e-4)
+  np.testing.assert_allclose(np.array(final_our['normals_pred']),
+                             np.array(final_ref['normals_pred']),
+                             rtol=1e-3, atol=1e-4)
+  np.testing.assert_allclose(np.array(final_our['roughness']),
+                             np.array(final_ref['roughness']),
+                             rtol=1e-3, atol=1e-5)
+  np.testing.assert_allclose(np.array(our_out[-1]['rgb']),
+                             np.array(ref_out[-1]['rgb']), atol=1e-4)
