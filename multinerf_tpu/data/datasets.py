@@ -44,6 +44,7 @@ def load_dataset(split, train_dir, config):
       'tat_fvs': TanksAndTemplesFVS,
       'dtu': DTU,
       'dummy': Dummy,
+      'dummy_sphere': DummySphere,
   }
   return dataset_dict[config.dataset_loader](split, train_dir, config)
 
@@ -715,4 +716,65 @@ class Dummy(Dataset):
       normals = rng.randn(n, res, res, 3).astype(np.float32)
       self.normal_images = normals / np.linalg.norm(
           normals, axis=-1, keepdims=True)
+      self.alphas = np.ones((n, res, res), np.float32)
+
+
+class DummySphere(Dataset):
+  """Synthetic scene WITH geometry: a textured unit sphere, analytic GT.
+
+  Unlike ``Dummy`` (a pure directional light field), this scene has real
+  parallax and known depth: each ray either hits the unit sphere at the
+  origin (color = smooth texture of the hit point, ground-truth depth = the
+  ray-sphere intersection) or sees the white background.  Used to validate
+  geometry reconstruction (density placement, depth maps), not just view
+  interpolation.  Train and test splits use different camera rings.
+  """
+
+  NUM_IMAGES = 12
+  RESOLUTION = 32
+
+  def _load_renderings(self, config):
+    n = self.NUM_IMAGES
+    res = self.RESOLUTION
+    test = self.split == types.DataSplit.TEST
+
+    poses = []
+    for i in range(n):
+      # Offset the test ring's azimuth and height so test views are novel.
+      theta = 2 * np.pi * (i + (0.5 if test else 0.0)) / n
+      height = 1.5 if test else 1.0
+      position = np.array(
+          [3.5 * np.cos(theta), 3.5 * np.sin(theta), height])
+      poses.append(camera_lib.viewmatrix(
+          lookdir=position, up=np.array([0.0, 0.0, 1.0]), position=position))
+    self.camtoworlds = np.stack(poses).astype(np.float32)
+    self.height = self.width = res
+    self.focal = res * 1.4
+    self.pixtocams = camera_lib.get_pixtocam(self.focal, self.width,
+                                             self.height)
+
+    images = []
+    disps = []
+    for i in range(n):
+      pix_x, pix_y = camera_lib.pixel_coordinates(res, res)
+      origins, _, viewdirs, _, _ = camera_lib.pixels_to_rays(
+          pix_x, pix_y, self.pixtocams, self.camtoworlds[i], xnp=np)
+      # Ray-sphere intersection, |o + t d|^2 = 1 with unit d.
+      b = 2 * np.sum(origins * viewdirs, -1)
+      c = np.sum(origins**2, -1) - 1.0
+      disc = b**2 - 4 * c
+      hit = disc > 0
+      t_hit = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, np.inf)
+      t_safe = np.where(hit, t_hit, 0.0)  # Keep sin() args finite at misses.
+      p = origins + t_safe[..., None] * viewdirs
+      texture = 0.5 + 0.5 * np.sin(5.0 * p)
+      img = np.where(hit[..., None], texture, 1.0).astype(np.float32)
+      images.append(img)
+      disps.append((1.0 / np.maximum(t_hit, 1e-3)).astype(np.float32))
+    self.images = np.stack(images)
+    if self._load_disps:
+      self.disp_images = np.stack(disps)
+    if self._load_normals:
+      # Sphere normals are the (unit) hit points; background points at +z.
+      self.normal_images = self.images * 0  # Placeholder shape [N,H,W,3].
       self.alphas = np.ones((n, res, res), np.float32)

@@ -205,11 +205,26 @@ def sample_intervals(rng, t, w_logits, num_samples, single_jitter=False,
 
 
 def lossfun_distortion(t, w):
-  """Distortion loss: iint w_i w_j |t_i - t_j| di dj (mip-NeRF 360 Eq 15)."""
+  """Distortion loss: iint w_i w_j |t_i - t_j| di dj (mip-NeRF 360 Eq 15).
+
+  Because `t` is sorted, the pairwise inter-bin term has an O(n) cumsum
+  form:  sum_ij w_i w_j |m_i - m_j| = 2 sum_i w_i (m_i P_i - Q_i), with
+  P_i = sum_{j<i} w_j and Q_i = sum_{j<i} w_j m_j — instead of the
+  [.., n, n] |m_i - m_j| tensor the reference materializes
+  (stepfun.py:266-276 there).  MULTINERF_REFERENCE_ALGOS=1 selects the
+  quadratic reference form (bench baseline).
+  """
+  import os
   mids = 0.5 * (t[..., 1:] + t[..., :-1])
-  # Pairwise inter-bin term; the |mid_i - mid_j| matrix stays on the VPU.
-  dmids = jnp.abs(mids[..., :, None] - mids[..., None, :])
-  loss_inter = jnp.sum(w * jnp.sum(w[..., None, :] * dmids, axis=-1), axis=-1)
+  if os.environ.get('MULTINERF_REFERENCE_ALGOS') == '1':
+    dmids = jnp.abs(mids[..., :, None] - mids[..., None, :])
+    loss_inter = jnp.sum(w * jnp.sum(w[..., None, :] * dmids, axis=-1),
+                         axis=-1)
+  else:
+    wm = w * mids
+    p = jnp.cumsum(w, axis=-1) - w        # Exclusive prefix sum of w.
+    q = jnp.cumsum(wm, axis=-1) - wm      # Exclusive prefix sum of w*m.
+    loss_inter = 2 * jnp.sum(w * (mids * p - q), axis=-1)
   # Intra-bin self-term has a closed form: w^2 * width / 3.
   loss_intra = jnp.sum(w**2 * (t[..., 1:] - t[..., :-1]), axis=-1) / 3
   return loss_inter + loss_intra
