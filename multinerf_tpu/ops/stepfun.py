@@ -245,13 +245,16 @@ def interval_distortion(t0_lo, t0_hi, t1_lo, t1_hi):
 
 
 def weighted_percentile(t, w, ps):
-  """Percentiles of the step fn (t, w); w must sum to 1 along the last axis."""
+  """Percentiles of the step fn (t, w); w must sum to 1 along the last axis.
+
+  Uses the gather-free sorted interpolation (both the CDF and the queried
+  percentiles are sorted) rather than a vmapped jnp.interp — the reference's
+  form (stepfun.py:298-308) lowers to per-ray gathers on TPU.
+  """
   cw = integrate_weights(w)
-  fn = lambda cw_i, t_i: jnp.interp(jnp.array(ps) / 100, cw_i, t_i)
-  cw_mat = cw.reshape([-1, cw.shape[-1]])
-  t_mat = t.reshape([-1, t.shape[-1]])
-  out = jax.vmap(fn)(cw_mat, t_mat)
-  return out.reshape(cw.shape[:-1] + (len(ps),))
+  q = jnp.broadcast_to(jnp.array(ps, dtype=t.dtype) / 100,
+                       t.shape[:-1] + (len(ps),))
+  return mathx.interp_sorted(q, cw, t)
 
 
 def resample(t, tp, vp, use_avg=False, eps=_F32_EPS):
