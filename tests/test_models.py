@@ -189,3 +189,58 @@ def test_bg_intensity_sampling():
   assert np.all(np.isfinite(np.array(r_rnd[-1]['rgb'])))
   assert not np.allclose(np.array(r_det[-1]['rgb']),
                          np.array(r_rnd[-1]['rgb']))
+
+
+def test_disable_integration_flag():
+  """disable_integration zeroes covariances -> plain PE behavior."""
+  _mini(['Model.disable_integration = True'])
+  config = configs_lib.Config(near=2.0, far=6.0)
+  rays = _rays()
+  model, variables = nerf_lib.construct_model(jax.random.PRNGKey(0), rays,
+                                              config)
+  out, _ = model.apply(variables, None, rays, train_frac=1.0,
+                       compute_extras=False)
+  assert np.all(np.isfinite(np.array(out[-1]['rgb'])))
+  # Must differ from the integrated version with the same params.
+  ginlite.clear_config()
+  _mini([])
+  model2 = ginlite.make('Model', config=config)
+  out2, _ = model2.apply(variables, None, rays, train_frac=1.0,
+                         compute_extras=False)
+  assert not np.allclose(np.array(out[-1]['rgb']), np.array(out2[-1]['rgb']))
+
+
+def test_near_anneal_rate_flag():
+  """near_anneal_rate moves the near bound in over training."""
+  _mini(['Model.near_anneal_rate = 0.5', 'Model.near_anneal_init = 0.9'])
+  config = configs_lib.Config(near=2.0, far=6.0)
+  rays = _rays()
+  model, variables = nerf_lib.construct_model(jax.random.PRNGKey(0), rays,
+                                              config)
+  _, hist_early = model.apply(variables, None, rays, train_frac=0.0,
+                              compute_extras=False)
+  _, hist_late = model.apply(variables, None, rays, train_frac=1.0,
+                             compute_extras=False)
+  # Early in training the sampled domain starts near s=near_anneal_init.
+  early_min = float(np.array(hist_early[0]['sdist']).min())
+  late_min = float(np.array(hist_late[0]['sdist']).min())
+  assert early_min >= 0.85
+  assert late_min <= 0.05
+
+
+def test_use_gpu_resampling_flag():
+  """Gather-based resampling produces the same model output."""
+  _mini([])
+  config = configs_lib.Config(near=2.0, far=6.0)
+  rays = _rays()
+  model, variables = nerf_lib.construct_model(jax.random.PRNGKey(0), rays,
+                                              config)
+  out_tpu, _ = model.apply(variables, None, rays, train_frac=1.0,
+                           compute_extras=False)
+  ginlite.clear_config()
+  _mini(['Model.use_gpu_resampling = True'])
+  model_gpu = ginlite.make('Model', config=config)
+  out_gpu, _ = model_gpu.apply(variables, None, rays, train_frac=1.0,
+                               compute_extras=False)
+  np.testing.assert_allclose(np.array(out_tpu[-1]['rgb']),
+                             np.array(out_gpu[-1]['rgb']), atol=1e-4)
