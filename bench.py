@@ -6,11 +6,11 @@ on whatever devices are attached — the directly comparable counter to the
 reference's ``train_rays_per_sec`` TensorBoard scalar (google-research/
 multinerf train.py:185-186).
 
-``vs_baseline`` is the speedup over the *reference algorithm* run through
-the same harness on the same chip: the reference's autodiff-linearized
-contraction warp (coord.py:39-60 there) instead of this framework's analytic
-Jacobian path, with everything else equal.  As more of the hot path moves
-into fused Pallas kernels this ratio is the honest "vs reference" number.
+``vs_baseline`` is the speedup over the *reference's algorithm formulations*
+run through the same harness on the same chip (MULTINERF_REFERENCE_ALGOS=1:
+autodiff-linearized contraction, composed lift+IPE, searchsorted+gather
+proposal loss, quadratic distortion loss — reference coord.py:39-133,
+stepfun.py:64-87,266-276), with everything else identical.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
 import sys as _sys
-_sys.path.insert(0, __file__.rsplit('/', 1)[0])
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 from multinerf_tpu.utils import cache as _cache
 _cache.enable_persistent_compilation_cache()
 
