@@ -116,3 +116,45 @@ def test_config_str_roundtrip():
       ginlite.parse_binding_line(line)
   c = ginlite.make('Config')
   assert c.far == 1e6
+
+
+def test_multiline_and_comment_bindings(tmp_path):
+  cfg = tmp_path / 'multi.gin'
+  cfg.write_text(
+      "# leading comment\n"
+      "Config.weight_decay_mults = {\n"
+      "    'NerfMLP_0': 1e-5,   # inline comment\n"
+      "    'PropMLP_0': 2e-4,\n"
+      "}\n"
+      "Config.render_resolution = (\n"
+      "    640,\n"
+      "    360,\n"
+      ")\n"
+      "Config.lr_init = 1e-3  # trailing comment\n")
+  ginlite.parse_config_files_and_bindings([str(cfg)], [])
+  c = ginlite.make('Config')
+  assert c.weight_decay_mults == {'NerfMLP_0': 1e-5, 'PropMLP_0': 2e-4}
+  assert c.render_resolution == (640, 360)
+  assert c.lr_init == 1e-3
+
+
+def test_negative_and_scientific_literals():
+  ginlite.parse_config_files_and_bindings(
+      [], ['NerfMLP.rgb_bias = -5.', 'Config.lr_final = 2e-05',
+           'Config.far = 1e6', 'Model.anneal_slope = 0.'])
+  assert ginlite.get_bindings('NerfMLP')['rgb_bias'] == -5.0
+  c = ginlite.make('Config')
+  assert c.lr_final == 2e-5 and c.far == 1e6
+
+
+def test_binding_overrides_are_last_wins():
+  ginlite.parse_config_files_and_bindings(
+      [], ['Config.batch_size = 111', 'Config.batch_size = 222'])
+  assert ginlite.make('Config').batch_size == 222
+
+
+def test_reference_with_arithmetic_expression():
+  """Expressions mixing literals parse via the restricted eval."""
+  ginlite.parse_config_files_and_bindings(
+      [], ['Config.batch_size = 4 * 1024'])
+  assert ginlite.make('Config').batch_size == 4096
