@@ -234,7 +234,10 @@ def main(unused_argv):
 
         if dataset.metadata is not None and model.learned_exposure_scaling:
           params = jax.device_get(state.params)['params']
-          scalings = params['exposure_scaling_offsets']['embedding'][0]
+          # NOTE: the reference indexes [0] here to strip pmap's leading
+          # device axis (train.py:195 there); our state is a global array
+          # with no device axis.
+          scalings = params['exposure_scaling_offsets']['embedding']
           num_shutter_speeds = dataset.metadata['unique_shutters'].shape[0]
           for i_s in range(num_shutter_speeds):
             for j_s, value in enumerate(scalings[i_s]):
