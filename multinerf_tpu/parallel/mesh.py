@@ -79,27 +79,81 @@ def process_local_slice(global_batch_size: int) -> int:
   return global_batch_size // n
 
 
-# Substrings of flattened parameter paths that identify weights worth
-# sharding over the model axis, mapped to the kernel dim to shard.  Dense
-# kernels are [fan_in, fan_out]; sharding fan_out column-parallel splits the
-# wide NerfMLP matmuls across chips (XLA inserts the reduce for the next
-# row-parallel layer on its own).
-def infer_param_shardings(params: Any, mesh: Mesh,
-                          min_dim_to_shard: int = 512) -> Any:
-  """Choose a NamedSharding for every parameter.
+def _layer_sort_key(path_entry) -> tuple:
+  """Sort flax auto-names numerically: Dense_2 before Dense_10."""
+  name = getattr(path_entry, 'key', None) or str(path_entry)
+  head, _, tail = str(name).rpartition('_')
+  if head and tail.isdigit():
+    return (head, int(tail))
+  return (str(name), -1)
 
-  Kernels whose output dim is both large (>= min_dim_to_shard) and divisible
-  by the model-axis size are sharded column-parallel over MODEL_AXIS; all
-  other parameters are replicated.  With model axis size 1 this degenerates
-  to full replication (pure DP).
+
+def infer_tree_shardings(tree: Any, mesh: Mesh,
+                         min_dim_to_shard: int = 512) -> Any:
+  """Megatron-style tensor-parallel layout for any params-shaped pytree.
+
+  Dense kernels are [fan_in, fan_out].  Within each module that owns a run
+  of Dense layers, consecutive wide kernels are paired column-parallel
+  (fan_out split over MODEL_AXIS) then row-parallel (fan_in split): the
+  column layer leaves its activation sharded on the feature dim, the row
+  layer consumes it in place, and GSPMD emits one psum after the pair
+  instead of an all-gather per layer.  A dim is only split when it is both
+  >= min_dim_to_shard and divisible by the model-axis size; everything else
+  (biases, small heads, scalars) is replicated.  With model axis size 1
+  this degenerates to full replication (pure DP).
+
+  Works on a raw params dict or a whole TrainState: Adam's mu/nu subtrees
+  repeat the params structure under a different path prefix, so grouping by
+  full parent path keeps their layout decisions identical to the params'.
   """
   model_size = mesh.shape[MODEL_AXIS]
+  leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+  if model_size <= 1:
+    return jax.tree_util.tree_unflatten(
+        treedef, [replicated(mesh)] * len(leaves))
 
-  def rule(path, x):
-    del path
-    if (model_size > 1 and hasattr(x, 'ndim') and x.ndim == 2 and
-        x.shape[-1] >= min_dim_to_shard and x.shape[-1] % model_size == 0):
-      return NamedSharding(mesh, P(None, MODEL_AXIS))
-    return replicated(mesh)
+  def splittable(dim):
+    return dim >= min_dim_to_shard and dim % model_size == 0
 
-  return jax.tree_util.tree_map_with_path(rule, params)
+  # Pass 1: group 2-D kernels by owning module (path minus the Dense layer
+  # and the trailing 'kernel'), ordered by layer index within the module.
+  groups: dict = {}
+  for i, (path, x) in enumerate(leaves):
+    is_kernel = (hasattr(x, 'ndim') and x.ndim == 2 and len(path) >= 2 and
+                 str(getattr(path[-1], 'key', path[-1])) == 'kernel')
+    if is_kernel:
+      groups.setdefault(path[:-2], []).append((path[-2], i, x.shape))
+
+  # Pass 2: walk each module's layers in order, alternating column -> row.
+  specs = [P()] * len(leaves)
+  for layers in groups.values():
+    layers.sort(key=lambda item: _layer_sort_key(item[0]))
+    prev_was_column = False
+    for _, leaf_idx, shape in layers:
+      fan_in, fan_out = shape
+      if prev_was_column and splittable(fan_in):
+        specs[leaf_idx] = P(MODEL_AXIS, None)
+        prev_was_column = False
+      elif splittable(fan_out):
+        specs[leaf_idx] = P(None, MODEL_AXIS)
+        prev_was_column = True
+      else:
+        prev_was_column = False
+
+  return jax.tree_util.tree_unflatten(
+      treedef, [NamedSharding(mesh, s) for s in specs])
+
+
+def infer_param_shardings(params: Any, mesh: Mesh,
+                          min_dim_to_shard: int = 512) -> Any:
+  """NamedSharding for every parameter (see infer_tree_shardings)."""
+  return infer_tree_shardings(params, mesh, min_dim_to_shard)
+
+
+def per_chip_bytes(tree: Any) -> int:
+  """Bytes one chip holds for a pytree of (possibly sharded) global arrays."""
+  def nbytes(x):
+    shard_shape = x.sharding.shard_shape(x.shape)
+    return int(np.prod(shard_shape)) * x.dtype.itemsize
+  return sum(nbytes(x) for x in jax.tree_util.tree_leaves(tree)
+             if hasattr(x, 'sharding'))

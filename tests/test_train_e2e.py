@@ -139,7 +139,8 @@ def test_cast_rays_in_train_step_path():
 
 
 def test_model_parallel_mesh_compiles():
-  """Tensor-sharded params (model axis) must compile and run."""
+  """Tensor parallelism: paired col->row kernels, sharded opt state, and
+  loss parity with the pure-DP run on identical weights and batch."""
   ginlite.clear_config()
   ginlite.parse_config_files_and_bindings(
       [], ['PropMLP.net_depth = 2', 'PropMLP.net_width = 16',
@@ -148,7 +149,8 @@ def test_model_parallel_mesh_compiles():
            'Model.num_levels = 2'])
   config = configs_lib.Config(
       dataset_loader='dummy', batch_size=64, data_loss_type='mse',
-      near=0.5, far=10.0, max_steps=10, lr_delay_steps=0)
+      near=0.5, far=10.0, max_steps=10, lr_delay_steps=0,
+      randomized=False)
   mesh = mesh_lib.create_mesh(model_parallel=2)
   assert mesh.shape['data'] == 4 and mesh.shape['model'] == 2
   dataset = datasets.load_dataset('train', '', config)
@@ -157,20 +159,40 @@ def test_model_parallel_mesh_compiles():
   _, state, _, train_pstep, _ = train_lib.setup_model(
       config, rng, mesh=mesh, dataset=dataset)
 
-  shardings = mesh_lib.infer_param_shardings(state.params, mesh)
-  # At least one kernel must actually be model-sharded.
-  leaves = jax.tree_util.tree_leaves(
-      jax.tree_util.tree_map(lambda s: s.spec, shardings,
-                             is_leaf=lambda x: hasattr(x, 'spec')))
-  assert any('model' in str(l) for l in leaves)
-  state = state.replace(params=jax.device_put(state.params, shardings))
-  state = state.replace(opt_state=jax.device_put(
-      state.opt_state, mesh_lib.replicated(mesh)))
+  shardings = mesh_lib.infer_tree_shardings(state, mesh,
+                                            min_dim_to_shard=256)
+  specs = [s.spec for s in jax.tree_util.tree_leaves(
+      shardings, is_leaf=lambda x: hasattr(x, 'spec'))]
+  # The Megatron pairing must produce BOTH column- and row-parallel kernels.
+  from jax.sharding import PartitionSpec as P
+  assert any(s == P(None, 'model') for s in specs), specs
+  assert any(s == P('model', None) for s in specs), specs
 
-  gbatch = mesh_lib.shard_batch_to_global(mesh, next(dataset))
-  state, stats, _ = train_pstep(jax.random.PRNGKey(1), state, gbatch, 0.5,
-                                1.0)
-  assert np.isfinite(float(stats['loss']))
+  replicated_bytes = 3 * mesh_lib.per_chip_bytes(
+      jax.device_put(state.params, mesh_lib.replicated(mesh)))
+  tp_state = jax.device_put(state, shardings)
+  # Sharding Adam's mu/nu alongside params must actually cut per-chip bytes.
+  tp_bytes = (mesh_lib.per_chip_bytes(tp_state.params) +
+              mesh_lib.per_chip_bytes(tp_state.opt_state))
+  assert tp_bytes < 0.75 * replicated_bytes, (tp_bytes, replicated_bytes)
+
+  batch = next(dataset)
+  gbatch = mesh_lib.shard_batch_to_global(mesh, batch)
+  _, tp_stats, _ = train_pstep(jax.random.PRNGKey(1), tp_state, gbatch, 0.5,
+                               1.0)
+  tp_loss = float(tp_stats['loss'])
+  assert np.isfinite(tp_loss)
+
+  # A/B: the same step on a pure-DP mesh from identical weights and batch.
+  dp_mesh = mesh_lib.create_mesh()
+  _, dp_state, _, dp_pstep, _ = train_lib.setup_model(
+      config, jax.random.PRNGKey(0), mesh=dp_mesh, dataset=dataset)
+  dp_state = jax.device_put(dp_state, mesh_lib.replicated(dp_mesh))
+  dp_batch = mesh_lib.shard_batch_to_global(dp_mesh, batch)
+  _, dp_stats, _ = dp_pstep(jax.random.PRNGKey(1), dp_state, dp_batch, 0.5,
+                            1.0)
+  np.testing.assert_allclose(tp_loss, float(dp_stats['loss']),
+                             rtol=1e-5, atol=1e-6)
 
 
 def test_robustnerf_training_path():
