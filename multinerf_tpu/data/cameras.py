@@ -88,32 +88,36 @@ def focus_point_fn(poses: np.ndarray) -> np.ndarray:
 def transform_poses_pca(poses: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
   """Rotate/scale poses so principal components align with XYZ in [-1,1]^3.
 
+  The world rotation comes straight from an SVD of the centered camera
+  positions: the right singular vectors are the principal axes ordered by
+  decreasing spread, so they become the new X/Y/Z rows.  The frame is then
+  canonicalized — made a proper rotation (flip the least-significant axis
+  if det < 0) with the capture's mean up vector pointing toward +Z (Y/Z
+  flip otherwise) — and uniformly scaled so positions fill the unit cube.
+  Same canonical frame as the reference (camera_utils.py:191-228 there),
+  derived via SVD instead of an eigendecomposition of the covariance.
+
   Returns (transformed poses, the applied [4,4] world transform).
   """
-  t = poses[:, :3, 3]
-  t_mean = t.mean(axis=0)
-  t = t - t_mean
+  positions = poses[:, :3, 3]
+  centroid = positions.mean(axis=0)
+  _, _, axes = np.linalg.svd(positions - centroid, full_matrices=False)
+  if np.linalg.det(axes) < 0:
+    axes[2] *= -1
+  # The new frame's Z-component of the mean camera up vector; if the
+  # capture would hang upside down, spin half a turn about X.
+  if (axes @ poses[:, :3, 1].mean(axis=0))[2] < 0:
+    axes = np.diag([1.0, -1.0, -1.0]) @ axes
 
-  eigval, eigvec = np.linalg.eig(t.T @ t)
-  inds = np.argsort(eigval)[::-1]
-  eigvec = eigvec[:, inds]
-  rot = eigvec.T
-  if np.linalg.det(rot) < 0:
-    rot = np.diag(np.array([1, 1, -1])) @ rot
-
-  transform = np.concatenate([rot, rot @ -t_mean[:, None]], -1)
+  transform = np.eye(4)
+  transform[:3, :3] = axes
+  transform[:3, 3] = -(axes @ centroid)
   poses_recentered = unpad_poses(transform @ pad_poses(poses))
-  transform = np.concatenate([transform, np.eye(4)[3:]], axis=0)
-
-  # Keep the capture's average up direction pointing up.
-  if poses_recentered.mean(axis=0)[2, 1] < 0:
-    poses_recentered = np.diag(np.array([1, -1, -1])) @ poses_recentered
-    transform = np.diag(np.array([1, -1, -1, 1])) @ transform
 
   # Scale into the [-1, 1]^3 cube.
   scale_factor = 1.0 / np.max(np.abs(poses_recentered[:, :3, 3]))
   poses_recentered[:, :3, 3] *= scale_factor
-  transform = np.diag(np.array([scale_factor] * 3 + [1])) @ transform
+  transform = np.diag([scale_factor] * 3 + [1.0]) @ transform
 
   return poses_recentered, transform
 
@@ -307,26 +311,21 @@ def pixel_coordinates(width: int, height: int, xnp: types.ModuleType = np
 # --- Distortion. ---------------------------------------------------------------
 
 
-def _distortion_residual_and_jacobian(x, y, xd, yd, k1=0.0, k2=0.0, k3=0.0,
-                                      k4=0.0, p1=0.0, p2=0.0):
-  """Residual f(x,y) = distort(x,y) - (xd,yd) and its Jacobian entries."""
-  # Radial polynomial d(r) = 1 + k1 r + k2 r^2 + k3 r^3 + k4 r^4, r = x^2+y^2.
-  r = x * x + y * y
-  d = 1.0 + r * (k1 + r * (k2 + r * (k3 + r * k4)))
+def distort(x, y, k1=0.0, k2=0.0, k3=0.0, k4=0.0, p1=0.0, p2=0.0):
+  """OpenCV radial + tangential distortion forward model.
 
-  fx = d * x + 2 * p1 * x * y + p2 * (r + 2 * x * x) - xd
-  fy = d * y + 2 * p2 * x * y + p1 * (r + 2 * y * y) - yd
+  With r2 = x^2 + y^2 and the radial gain g(r2) = 1 + k1 r2 + k2 r2^2 +
+  k3 r2^3 + k4 r2^4 (docs.opencv.org calib3d model, the convention COLMAP
+  exports):
 
-  d_r = k1 + r * (2.0 * k2 + r * (3.0 * k3 + r * 4.0 * k4))
-  d_x = 2.0 * x * d_r
-  d_y = 2.0 * y * d_r
-
-  fx_x = d + d_x * x + 2.0 * p1 * y + 6.0 * p2 * x
-  fx_y = d_y * x + 2.0 * p1 * x + 2.0 * p2 * y
-  fy_x = d_x * y + 2.0 * p2 * y + 2.0 * p1 * x
-  fy_y = d + d_y * y + 2.0 * p2 * x + 6.0 * p1 * y
-
-  return fx, fy, fx_x, fx_y, fy_x, fy_y
+      xd = g * x + 2 p1 x y + p2 (r2 + 2 x^2)
+      yd = g * y + 2 p2 x y + p1 (r2 + 2 y^2)
+  """
+  r2 = x * x + y * y
+  gain = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+  xd = gain * x + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+  yd = gain * y + 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
+  return xd, yd
 
 
 def _radial_and_tangential_undistort(xd, yd, k1=0, k2=0, k3=0, k4=0, p1=0,
@@ -335,20 +334,32 @@ def _radial_and_tangential_undistort(xd, yd, k1=0, k2=0, k3=0, k4=0, p1=0,
                                      xnp: types.ModuleType = np):
   """Invert the OpenCV distortion model by fixed-count Newton iteration.
 
-  A static iteration count keeps this jit-compatible (no data-dependent
-  control flow) for the in-train-step casting path.
+  The distortion field is the gradient of a scalar potential, so its
+  Jacobian is SYMMETRIC:  J = g(r2) I  +  2 g'(r2) v v^T  +  J_tang with
+  J_tang itself symmetric — three entries to evaluate, not four, and the
+  2x2 Newton solve is the standard Cramer step x -= J^-1 f.  A static
+  iteration count keeps this jit-compatible (no data-dependent control
+  flow) for the in-train-step casting path.
   """
   x = xnp.array(xd)
   y = xnp.array(yd)
   for _ in range(max_iterations):
-    fx, fy, fx_x, fx_y, fy_x, fy_y = _distortion_residual_and_jacobian(
-        x=x, y=y, xd=xd, yd=yd, k1=k1, k2=k2, k3=k3, k4=k4, p1=p1, p2=p2)
-    denominator = fy_x * fx_y - fx_x * fy_y
-    x_num = fx * fy_y - fy * fx_y
-    y_num = fy * fx_x - fx * fy_x
-    safe = xnp.abs(denominator) > eps
-    x = x + xnp.where(safe, x_num / denominator, xnp.zeros_like(denominator))
-    y = y + xnp.where(safe, y_num / denominator, xnp.zeros_like(denominator))
+    fx, fy = distort(x, y, k1=k1, k2=k2, k3=k3, k4=k4, p1=p1, p2=p2)
+    fx = fx - xd
+    fy = fy - yd
+
+    r2 = x * x + y * y
+    gain = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+    dgain = k1 + r2 * (2.0 * k2 + r2 * (3.0 * k3 + r2 * (4.0 * k4)))
+    j_xx = gain + 2.0 * dgain * x * x + 2.0 * p1 * y + 6.0 * p2 * x
+    j_yy = gain + 2.0 * dgain * y * y + 2.0 * p2 * x + 6.0 * p1 * y
+    j_xy = 2.0 * dgain * x * y + 2.0 * p1 * x + 2.0 * p2 * y  # == j_yx
+
+    det = j_xx * j_yy - j_xy * j_xy
+    step_ok = xnp.abs(det) > eps
+    inv_det = xnp.where(step_ok, 1.0 / xnp.where(step_ok, det, 1.0), 0.0)
+    x = x - inv_det * (j_yy * fx - j_xy * fy)
+    y = y - inv_det * (j_xx * fy - j_xy * fx)
   return x, y
 
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multinerf_tpu.data import cameras as camera_lib
+from multinerf_tpu.data import raw
 from multinerf_tpu.data import types
 
 
@@ -100,11 +101,7 @@ class DeviceDataPlane:
     broadcast_scalar = lambda x: jnp.broadcast_to(
         x, (n_patches, ps, ps))[..., None]
     if self._apply_bayer_mask:
-      r = ((pix_x % 2 == 0) & (pix_y % 2 == 0))
-      g = (((pix_x % 2 == 1) & (pix_y % 2 == 0)) |
-           ((pix_x % 2 == 0) & (pix_y % 2 == 1)))
-      b = ((pix_x % 2 == 1) & (pix_y % 2 == 1))
-      lossmult = jnp.stack([r, g, b], -1).astype(jnp.float32)
+      lossmult = raw.pixels_to_bayer_mask(pix_x, pix_y, xnp=jnp)
     else:
       lossmult = broadcast_scalar(1.0)
 

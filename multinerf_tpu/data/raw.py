@@ -55,13 +55,18 @@ def postprocess_raw(raw: _Array, camtorgb: _Array,
   return image_ops.linear_to_srgb(rgb_linear_scaled, xnp=xnp)
 
 
-def pixels_to_bayer_mask(pix_x: np.ndarray, pix_y: np.ndarray) -> np.ndarray:
-  """Binary RGB Bayer (RGGB) mask from integer pixel coordinates."""
+def pixels_to_bayer_mask(pix_x: _Array, pix_y: _Array,
+                         xnp: types.ModuleType = np) -> _Array:
+  """Binary RGB Bayer (RGGB) mask from integer pixel coordinates.
+
+  xnp-generic: the device data plane evaluates it in-jit with xnp=jnp
+  (single source of truth for the RGGB phase convention).
+  """
   r = (pix_x % 2 == 0) * (pix_y % 2 == 0)  # Red at top-left.
   g = ((pix_x % 2 == 1) * (pix_y % 2 == 0) +
        (pix_x % 2 == 0) * (pix_y % 2 == 1))  # Greens on the anti-diagonal.
   b = (pix_x % 2 == 1) * (pix_y % 2 == 1)  # Blue at bottom-right.
-  return np.stack([r, g, b], -1).astype(np.float32)
+  return xnp.stack([r, g, b], -1).astype(xnp.float32)
 
 
 def bilinear_demosaic(bayer: _Array, xnp: types.ModuleType) -> _Array:

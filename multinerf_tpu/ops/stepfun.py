@@ -56,19 +56,36 @@ def inner_outer(t0, t1, y1):
   """Lower/upper bounds on mass of (t1, y1) falling in each bin of t0.
 
   ``outer`` counts every source bin that *touches* a query bin; ``inner``
-  only those strictly contained.  Used by the proposal loss.
+  only those contained in it.  Like ``outer_measure``, both are single
+  masked reductions — no cumsum, searchsorted, or gather.  The containment
+  test is strict on the left edge and inclusive on the right, which is
+  what the reference's bracketing-index arithmetic resolves to
+  (stepfun.py:63-77 there): a source bin starting exactly at a query bin's
+  left fencepost is credited to the *previous* query bin's inner mass.
   """
+  contained = ((t1[..., :-1, None] > t0[..., None, :-1]) &
+               (t1[..., 1:, None] <= t0[..., None, 1:]))
+  y0_inner = jnp.sum(jnp.where(contained, y1[..., None], 0), axis=-2)
+  return y0_inner, outer_measure(t0, t1, y1)
+
+
+def _outer_measure_gather(t0, t1, y1):
+  """The reference's formulation of the outer measure, for the benchmark
+  baseline (MULTINERF_REFERENCE_ALGOS=1): cumulative source mass looked up
+  at bracketing fencepost indices by gather (reference stepfun.py:63-77).
+  Built on jnp.searchsorted's binary search rather than a hand-rolled
+  bracketing scan; the gather-per-query cost profile is the same.
+  """
+  n = t1.shape[-1]
   cy1 = jnp.concatenate(
       [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
-  idx_lo, idx_hi = searchsorted(t1, t0)
-
-  cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
-  cy1_hi = jnp.take_along_axis(cy1, idx_hi, axis=-1)
-
-  y0_outer = cy1_hi[..., 1:] - cy1_lo[..., :-1]
-  y0_inner = jnp.where(idx_hi[..., :-1] <= idx_lo[..., 1:],
-                       cy1_lo[..., 1:] - cy1_hi[..., :-1], 0)
-  return y0_inner, y0_outer
+  count = jnp.vectorize(
+      lambda a, v: jnp.searchsorted(a, v, side='right'),
+      signature='(n),(m)->(m)')(t1, t0)
+  mass_thru = jnp.take_along_axis(cy1, jnp.clip(count, 0, n - 1), axis=-1)
+  mass_below = jnp.take_along_axis(cy1, jnp.clip(count - 1, 0, n - 1),
+                                   axis=-1)
+  return mass_thru[..., 1:] - mass_below[..., :-1]
 
 
 def outer_measure(t0, t1, y1):
@@ -97,7 +114,7 @@ def lossfun_outer(t, w, t_env, w_env, eps=_F32_EPS):
   """
   import os
   if os.environ.get('MULTINERF_REFERENCE_ALGOS') == '1':
-    _, w_outer = inner_outer(t, t_env, w_env)
+    w_outer = _outer_measure_gather(t, t_env, w_env)
   else:
     w_outer = outer_measure(t, t_env, w_env)
   return jnp.maximum(0, w - w_outer) ** 2 / (w + eps)
@@ -160,25 +177,29 @@ def sample(rng, t, w_logits, num_samples, single_jitter=False,
            deterministic_center=False, use_gpu_resampling=False):
   """Stratified inverse-CDF sampling from a step function.
 
-  Jitter conventions match the reference exactly (stepfun.py:191-210): with
-  an rng, strata are jittered within [0, max_jitter) either per-sample or
-  once per ray (single_jitter); without, a linspace over [0, 1-eps] (or the
-  strata centers when deterministic_center).
+  The unit interval is cut into equal strata, one sample per stratum at
+  ``stratum_index * pitch + offset``.  The pitch/offset constants reproduce
+  the reference's sampling distribution (stepfun.py:191-210 there): the top
+  ``eps`` of [0, 1] is shaved so no query ever reaches u=1, and jittered
+  strata reserve ``u_max`` of headroom so even maximal jitter keeps the
+  last sample below 1.  ``single_jitter`` shares one jitter draw across a
+  ray's strata; ``deterministic_center`` pins samples to stratum centers.
   """
   eps = _F32_EPS
+  strata = jnp.arange(num_samples, dtype=t.dtype)
   if rng is None:
     if deterministic_center:
       pad = 1 / (2 * num_samples)
-      u = jnp.linspace(pad, 1.0 - pad - eps, num_samples)
+      u = pad + strata * ((1 - 2 * pad - eps) / (num_samples - 1))
     else:
-      u = jnp.linspace(0, 1.0 - eps, num_samples)
+      u = strata * ((1 - eps) / (num_samples - 1))
     u = jnp.broadcast_to(u, t.shape[:-1] + (num_samples,))
   else:
     u_max = eps + (1 - eps) / num_samples
-    max_jitter = (1 - u_max) / (num_samples - 1) - eps
-    d = 1 if single_jitter else num_samples
-    u = (jnp.linspace(0, 1 - u_max, num_samples) +
-         jax.random.uniform(rng, t.shape[:-1] + (d,), maxval=max_jitter))
+    pitch = (1 - u_max) / (num_samples - 1)
+    jitter_shape = t.shape[:-1] + ((1,) if single_jitter else (num_samples,))
+    u = strata * pitch + jax.random.uniform(rng, jitter_shape,
+                                            maxval=pitch - eps)
   return invert_cdf(u, t, w_logits, use_gpu_resampling=use_gpu_resampling)
 
 
@@ -186,9 +207,12 @@ def sample_intervals(rng, t, w_logits, num_samples, single_jitter=False,
                      domain=(-jnp.inf, jnp.inf), use_gpu_resampling=False):
   """Sample `num_samples` *intervals* (fenceposts) from a step function.
 
-  Samples interval centers, then spans midpoints between adjacent centers;
-  the first/last fencepost reflects the adjacent midpoint around its center,
-  clamped to `domain` (reference stepfun.py:214-263).
+  Draws stratum-centered samples, linearly extrapolates one ghost sample
+  past each end, and returns the midpoints of all adjacent (ghost-padded)
+  samples: interior fenceposts land halfway between samples, and each end
+  fencepost mirrors its neighboring midpoint across the end sample — the
+  same construction as the reference (stepfun.py:214-263) reached by
+  padding instead of reflection.  End fenceposts are clamped to `domain`.
 
   Returns [..., num_samples + 1] sorted fenceposts.
   """
@@ -197,11 +221,14 @@ def sample_intervals(rng, t, w_logits, num_samples, single_jitter=False,
   centers = sample(rng, t, w_logits, num_samples, single_jitter,
                    deterministic_center=True,
                    use_gpu_resampling=use_gpu_resampling)
-  mid = 0.5 * (centers[..., 1:] + centers[..., :-1])
+  ghost_lo = 2 * centers[..., :1] - centers[..., 1:2]
+  ghost_hi = 2 * centers[..., -1:] - centers[..., -2:-1]
+  padded = jnp.concatenate([ghost_lo, centers, ghost_hi], axis=-1)
+  fences = 0.5 * (padded[..., :-1] + padded[..., 1:])
   minval, maxval = domain
-  first = jnp.maximum(minval, 2 * centers[..., :1] - mid[..., :1])
-  last = jnp.minimum(maxval, 2 * centers[..., -1:] - mid[..., -1:])
-  return jnp.concatenate([first, mid, last], axis=-1)
+  fences = fences.at[..., 0].set(jnp.maximum(minval, fences[..., 0]))
+  fences = fences.at[..., -1].set(jnp.minimum(maxval, fences[..., -1]))
+  return fences
 
 
 def lossfun_distortion(t, w):
@@ -231,17 +258,33 @@ def lossfun_distortion(t, w):
 
 
 def interval_distortion(t0_lo, t0_hi, t1_lo, t1_hi):
-  """E|x - y| for x~U[t0_lo,t0_hi], y~U[t1_lo,t1_hi] (closed form)."""
-  d_disjoint = jnp.abs((t1_lo + t1_hi) / 2 - (t0_lo + t0_hi) / 2)
-  d_overlap = (
-      2 * (jnp.minimum(t0_hi, t1_hi)**3 - jnp.maximum(t0_lo, t1_lo)**3) +
-      3 * (t1_hi * t0_hi * jnp.abs(t1_hi - t0_hi) +
-           t1_lo * t0_lo * jnp.abs(t1_lo - t0_lo) +
-           t1_hi * t0_lo * (t0_lo - t1_hi) +
-           t1_lo * t0_hi * (t1_lo - t0_hi))
-  ) / (6 * (t0_hi - t0_lo) * (t1_hi - t1_lo))
-  are_disjoint = (t0_lo > t1_hi) | (t1_lo > t0_hi)
-  return jnp.where(are_disjoint, d_disjoint, d_overlap)
+  """E|x - y| for x~U[t0_lo,t0_hi], y~U[t1_lo,t1_hi], in closed form.
+
+  Derivation: E|x - y| = (1/(w0*w1)) * int_{t0} h(x) dx where
+  h(x) = int_{t1} |x - y| dy is quadratic for x inside [t1_lo, t1_hi] and
+  linear in the distance to the t1 midpoint outside it.  Splitting the x
+  integral at the (clipped) crossings of t1_lo/t1_hi gives three pieces
+  with elementary antiderivatives — one formula exact for overlapping AND
+  disjoint intervals alike (disjoint reduces to the midpoint distance).
+  Degenerate zero-width intervals also return the midpoint distance.
+  """
+  c1 = 0.5 * (t1_lo + t1_hi)
+  w0 = t0_hi - t0_lo
+  w1 = t1_hi - t1_lo
+
+  def antideriv_outside(x):  # d/dx = w1 * |x - c1|
+    return 0.5 * w1 * (x - c1) * jnp.abs(x - c1)
+
+  def antideriv_inside(x):  # d/dx = ((x - t1_lo)^2 + (t1_hi - x)^2) / 2
+    return ((x - t1_lo)**3 - (t1_hi - x)**3) / 6
+
+  cross_lo = jnp.clip(t1_lo, t0_lo, t0_hi)
+  cross_hi = jnp.clip(t1_hi, t0_lo, t0_hi)
+  integral = (antideriv_outside(cross_lo) - antideriv_outside(t0_lo) +
+              antideriv_inside(cross_hi) - antideriv_inside(cross_lo) +
+              antideriv_outside(t0_hi) - antideriv_outside(cross_hi))
+  midpoint_dist = jnp.abs(0.5 * (t0_lo + t0_hi) - c1)
+  return jnp.where(w0 * w1 > 0, integral / (w0 * w1), midpoint_dist)
 
 
 def weighted_percentile(t, w, ps):
@@ -260,7 +303,17 @@ def weighted_percentile(t, w, ps):
 def resample(t, tp, vp, use_avg=False, eps=_F32_EPS):
   """Re-bin the step function (tp, vp) onto new fenceposts t (by summation).
 
-  With use_avg=True returns the width-weighted average instead of the sum.
+  Each target bin accumulates every source bin's value scaled by the
+  fraction of that source bin it covers:
+
+      out_i = sum_j vp_j * |[t_i, t_i+1] ∩ [tp_j, tp_j+1]| / (tp_j+1 - tp_j)
+
+  — one masked reduction in the house style (cf. ``outer_measure``),
+  equivalent to interpolating the cumulative mass at the new fenceposts
+  and differencing (the reference's form, stepfun.py:311-340 there), since
+  linear interpolation of a cumulative sum is exactly fractional overlap.
+  Source mass outside [t_0, t_-1] is dropped.  With use_avg=True returns
+  the width-weighted average instead of the sum.
   """
   if use_avg:
     wp = jnp.diff(tp, axis=-1)
@@ -268,7 +321,9 @@ def resample(t, tp, vp, use_avg=False, eps=_F32_EPS):
     v_denom = resample(t, tp, wp, use_avg=False)
     return v_numer / jnp.maximum(eps, v_denom)
 
-  acc0 = jnp.concatenate(
-      [jnp.zeros(vp.shape[:-1] + (1,)), jnp.cumsum(vp, axis=-1)], axis=-1)
-  acc0_rs = jnp.vectorize(jnp.interp, signature='(n),(m),(m)->(n)')(t, tp, acc0)
-  return jnp.diff(acc0_rs, axis=-1)
+  overlap_lo = jnp.maximum(t[..., None, :-1], tp[..., :-1, None])
+  overlap_hi = jnp.minimum(t[..., None, 1:], tp[..., 1:, None])
+  overlap = jnp.maximum(0, overlap_hi - overlap_lo)  # [..., np, n]
+  widths = (tp[..., 1:] - tp[..., :-1])[..., None]
+  return jnp.sum(vp[..., None] * overlap / jnp.maximum(widths, eps**2),
+                 axis=-2)

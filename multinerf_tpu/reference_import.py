@@ -1,0 +1,152 @@
+"""Import the read-only reference checkout as a benchmark/parity oracle.
+
+The reference (google-research/multinerf at /root/reference) is pure JAX
+except for a few dependencies absent here (gin, dm_pix, rawpy); this module
+installs minimal stand-ins for those and imports the reference's modules so
+they can be *executed* — never copied — as the honest baseline:
+
+* ``bench.py`` times the reference's actual pmap train step
+  (reference train_utils.py:221-346) on the same chip as ours.
+* The head-to-head quality harness trains the reference stack on the same
+  synthetic scenes to compare PSNR trajectories.
+* Parity tests use the same import path as a numerical oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+from typing import Any
+
+REFERENCE_PATH = os.environ.get('MULTINERF_REFERENCE', '/root/reference')
+
+
+def reference_available() -> bool:
+  return os.path.isdir(os.path.join(REFERENCE_PATH, 'internal'))
+
+
+def install_stubs() -> None:
+  """Register import-time stand-ins for the reference's absent deps."""
+  if 'gin' not in sys.modules:
+    gin = types.ModuleType('gin')
+    gin.configurable = lambda *a, **k: (a[0] if a and callable(a[0])
+                                        else (lambda cls: cls))
+    config = types.ModuleType('gin.config')
+    config.external_configurable = lambda fn, module=None: fn
+    gin.config = config
+    gin.add_config_file_search_path = lambda *a, **k: None
+    gin.parse_config_files_and_bindings = lambda *a, **k: None
+    gin.config_str = lambda: ''
+    gin.operative_config_str = lambda: ''
+    sys.modules['gin'] = gin
+    sys.modules['gin.config'] = config
+  if 'dm_pix' not in sys.modules:
+    dm_pix = types.ModuleType('dm_pix')
+    dm_pix.ssim = lambda a, b: 0.0
+    sys.modules['dm_pix'] = dm_pix
+  if 'rawpy' not in sys.modules:
+    rawpy = types.ModuleType('rawpy')
+    def _unavailable(*_a, **_k):
+      raise ImportError('rawpy is not available in this environment')
+    rawpy.imread = _unavailable
+    sys.modules['rawpy'] = rawpy
+  if 'pycolmap' not in sys.modules:
+    # The reference vendors pycolmap as a git submodule that is empty in
+    # this checkout; its datasets.py imports it unconditionally but only
+    # calls it when parsing real COLMAP scenes, which the bench never does.
+    pycolmap = types.ModuleType('pycolmap')
+    class _SceneManagerUnavailable:  # noqa: N801
+      def __init__(self, *_a, **_k):
+        raise ImportError('pycolmap is not available in this environment')
+    pycolmap.SceneManager = _SceneManagerUnavailable
+    sys.modules['pycolmap'] = pycolmap
+
+
+def import_reference() -> Any:
+  """Import the reference's `internal` modules; returns a namespace.
+
+  The returned object has attributes models, configs, utils, train_utils,
+  coord, stepfun, math, camera_utils, image.
+  """
+  if not reference_available():
+    raise ImportError(f'reference checkout not found at {REFERENCE_PATH}')
+  install_stubs()
+  if REFERENCE_PATH not in sys.path:
+    sys.path.insert(0, REFERENCE_PATH)
+  from internal import camera_utils  # noqa: PLC0415
+  from internal import configs  # noqa: PLC0415
+  from internal import coord  # noqa: PLC0415
+  from internal import image  # noqa: PLC0415
+  from internal import math  # noqa: PLC0415
+  from internal import models  # noqa: PLC0415
+  from internal import stepfun  # noqa: PLC0415
+  from internal import train_utils  # noqa: PLC0415
+  from internal import utils  # noqa: PLC0415
+  return types.SimpleNamespace(
+      models=models, configs=configs, utils=utils, train_utils=train_utils,
+      coord=coord, stepfun=stepfun, math=math, camera_utils=camera_utils,
+      image=image)
+
+
+def build_reference_360_step(batch_size: int, seed: int = 0):
+  """Assemble the reference's ACTUAL pmap train step on the 360 config.
+
+  Reproduces what reference train.py:60-130 + train_utils.py:399-419 set up
+  (model from configs/360.gin bindings, Adam + lr schedule, pmap'd step,
+  replicated state, [n_devices, batch/n_devices, ...] sharded batch) without
+  gin: the 360.gin MLP/Model bindings are baked in via subclass defaults.
+
+  Returns (train_pstep, replicated_state, sharded_batch, rngs): call
+  ``train_pstep(rngs, state, batch, None, train_frac, loss_threshold)``.
+  """
+  import flax
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+
+  ref = import_reference()
+
+  # configs/360.gin model bindings (reference configs/360.gin:6-18).
+  nerf_kw = dict(warp_fn=ref.coord.contract, net_depth=8, net_width=1024,
+                 disable_density_normals=True)
+  prop_kw = dict(warp_fn=ref.coord.contract, net_depth=4, net_width=256,
+                 disable_density_normals=True, disable_rgb=True)
+  base_mlp = ref.models.MLP
+  ref.models.NerfMLP = lambda: base_mlp(**nerf_kw)
+  ref.models.PropMLP = lambda: base_mlp(**prop_kw)
+
+  config = ref.configs.Config(near=0.2, far=1e6, batch_size=batch_size)
+  model = ref.models.Model(config=config, raydist_fn=jnp.reciprocal,
+                           opaque_background=True)
+
+  rng = jax.random.PRNGKey(seed)
+  rs = np.random.RandomState(seed)
+  d = rs.randn(batch_size, 3).astype(np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  ray_kwargs = dict(
+      origins=rs.randn(batch_size, 3).astype(np.float32) * 0.1,
+      directions=d,
+      viewdirs=d,
+      radii=np.full((batch_size, 1), 1e-3, np.float32),
+      imageplane=np.zeros((batch_size, 2), np.float32),
+      lossmult=np.ones((batch_size, 1), np.float32),
+      near=np.full((batch_size, 1), 0.2, np.float32),
+      far=np.full((batch_size, 1), 1e6, np.float32),
+      cam_idx=np.zeros((batch_size, 1), np.int32))
+
+  init_rays = jax.tree_util.tree_map(
+      lambda x: jnp.asarray(x[:10]), ref.utils.Rays(**ray_kwargs))
+  variables = model.init(rng, rng=None, rays=init_rays, train_frac=1.0,
+                         compute_extras=False, zero_glo=True)
+  state, _ = ref.train_utils.create_optimizer(config, variables)
+  train_pstep = ref.train_utils.create_train_step(model, config)
+
+  batch = ref.utils.Batch(rays=ref.utils.Rays(**ray_kwargs),
+                          rgb=rs.rand(batch_size, 3).astype(np.float32))
+  # The reference's host-side device sharding (utils.py:125-128).
+  sharded_batch = ref.utils.shard(batch)
+  state = flax.jax_utils.replicate(state)
+  rngs = jax.random.split(jax.random.PRNGKey(seed + 1),
+                          jax.local_device_count())
+  return train_pstep, state, sharded_batch, rngs

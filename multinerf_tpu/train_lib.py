@@ -344,9 +344,16 @@ def create_render_fn(model, mesh):
 
   repl = mesh_lib.replicated(mesh)
   data = mesh_lib.data_sharding(mesh)
+  # Multi-process: every process must be able to fetch the rendered chunk
+  # (render_image device_gets it), so outputs are gathered to replicated —
+  # the SPMD equivalent of the reference's lax.all_gather around the render
+  # fn (train_utils.py:377-396 there).  Single-process leaves XLA's natural
+  # data-sharded layout in place (device_get can address every shard).
+  out_shardings = repl if jax.process_count() > 1 else None
   render_eval_pfn = jax.jit(
       render_eval_fn,
       in_shardings=(repl, None, None, data),
+      out_shardings=out_shardings,
   )
   return render_eval_pfn
 

@@ -1,0 +1,121 @@
+"""Worker process for the REAL multi-process JAX test (test_multiprocess.py).
+
+Each worker joins a 2-process distributed CPU cluster (4 virtual devices per
+process, 8 global), builds the same global mesh and model as the parent's
+single-process run, feeds its process-local slice of a deterministic global
+batch through ``shard_batch_to_global`` (exercising
+``jax.make_array_from_process_local_data``, mesh.py:67-69), trains, and
+renders through ``render_image``'s per-process slicing branch
+(models/nerf.py:329-338).  It prints one RESULT json line for the parent to
+compare against the single-process ground truth — the semantics the
+reference achieves with per-host pmap feeding (its datasets.py:256,
+models.py:650-671).
+"""
+
+import functools
+import json
+import os
+import sys
+
+
+def make_global_batch(n, seed=5):
+  import numpy as np
+  from multinerf_tpu.data import types
+  rs = np.random.RandomState(seed)
+  d = rs.randn(n, 3).astype(np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  rays = types.Rays(
+      origins=rs.randn(n, 3).astype(np.float32) * 0.2,
+      directions=d,
+      viewdirs=d,
+      radii=np.full((n, 1), 1e-3, np.float32),
+      imageplane=np.zeros((n, 2), np.float32),
+      lossmult=np.ones((n, 1), np.float32),
+      near=np.full((n, 1), 0.5, np.float32),
+      far=np.full((n, 1), 10.0, np.float32),
+      cam_idx=np.zeros((n, 1), np.int32))
+  return types.Batch(rays=rays, rgb=rs.rand(n, 3).astype(np.float32))
+
+
+def run(num_processes, batch_size=64, train_steps=3):
+  """Shared by the workers AND the parent's single-process ground truth."""
+  import jax
+  import numpy as np
+
+  from multinerf_tpu import configs as configs_lib
+  from multinerf_tpu import ginlite
+  from multinerf_tpu import train_lib
+  from multinerf_tpu.data import datasets
+  from multinerf_tpu.models import nerf as models
+  from multinerf_tpu.parallel import mesh as mesh_lib
+
+  ginlite.clear_config()
+  ginlite.parse_config_files_and_bindings(
+      [], ['PropMLP.net_depth = 2', 'PropMLP.net_width = 16',
+           'NerfMLP.net_depth = 2', 'NerfMLP.net_width = 16',
+           'Model.num_prop_samples = 8', 'Model.num_nerf_samples = 4',
+           'Model.num_levels = 2'])
+  config = configs_lib.Config(
+      dataset_loader='dummy', batch_size=batch_size, render_chunk_size=32,
+      data_loss_type='mse', near=0.5, far=10.0, max_steps=10,
+      lr_delay_steps=0, randomized=False)
+
+  mesh = mesh_lib.create_mesh()
+  dataset = datasets.load_dataset('test', '', config)
+  _, state, render_eval_pfn, train_pstep, _ = train_lib.setup_model(
+      config, jax.random.PRNGKey(0), mesh=mesh, dataset=dataset)
+
+  repl = mesh_lib.replicated(mesh)
+  if num_processes > 1:
+    # Model init ran identically on every process (same seed); lift the
+    # host-local replicas into global replicated arrays.
+    state = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)),
+        state)
+  else:
+    state = jax.device_put(state, repl)
+
+  batch = make_global_batch(batch_size)
+  local_rows = batch_size // num_processes
+  start = jax.process_index() * local_rows
+  local = jax.tree_util.tree_map(
+      lambda x: x[start:start + local_rows], batch)
+  gbatch = mesh_lib.shard_batch_to_global(mesh, local)
+
+  losses = []
+  rng = jax.random.PRNGKey(1)
+  for _ in range(train_steps):
+    state, stats, rng = train_pstep(rng, state, gbatch, 0.5, 1.0)
+    losses.append(float(stats['loss']))
+
+  test_case = next(dataset)
+  rendering = models.render_image(
+      functools.partial(render_eval_pfn, state.params, 1.0),
+      test_case.rays, None, config, verbose=False,
+      mesh=mesh if num_processes > 1 else None)
+  rgb = np.array(rendering['rgb'])
+  return {'losses': losses, 'rgb_sum': float(rgb.sum()),
+          'rgb_shape': list(rgb.shape),
+          'n_processes': jax.process_count(),
+          'n_devices': jax.device_count()}
+
+
+def main():
+  proc_id = int(sys.argv[1])
+  num_processes = int(sys.argv[2])
+  port = int(sys.argv[3])
+
+  import jax
+  jax.config.update('jax_platforms', 'cpu')
+  jax.distributed.initialize(coordinator_address=f'localhost:{port}',
+                             num_processes=num_processes,
+                             process_id=proc_id)
+  result = run(num_processes)
+  result['pid'] = proc_id
+  print('RESULT ' + json.dumps(result), flush=True)
+
+
+if __name__ == '__main__':
+  sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  os.pardir, os.pardir))
+  main()

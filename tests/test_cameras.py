@@ -107,10 +107,7 @@ def test_undistortion_inverts_distortion():
   x = rng.uniform(-0.3, 0.3, 100)
   y = rng.uniform(-0.3, 0.3, 100)
   params = dict(k1=0.05, k2=-0.01, p1=0.001, p2=-0.002)
-  # Forward-distort using the residual helper at the solution.
-  fx, fy, *_ = cameras._distortion_residual_and_jacobian(
-      x, y, np.zeros_like(x), np.zeros_like(y), **params)
-  xd, yd = fx, fy  # distort(x, y)
+  xd, yd = cameras.distort(x, y, **params)
   xu, yu = cameras._radial_and_tangential_undistort(xd, yd, **params)
   np.testing.assert_allclose(xu, x, atol=1e-6)
   np.testing.assert_allclose(yu, y, atol=1e-6)

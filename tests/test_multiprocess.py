@@ -1,0 +1,89 @@
+"""REAL multi-process (multi-host) data-parallel training test.
+
+Spawns a genuine 2-process distributed JAX cluster on CPU (4 virtual
+devices each, 8 global — same global device count as every other test) and
+verifies the multi-host branches that single-process tests can't reach:
+
+* per-process batch slices -> ``jax.make_array_from_process_local_data``
+  (parallel/mesh.py shard_batch_to_global multi-process branch),
+* the full SPMD train step with the gradient reduction spanning processes,
+* ``render_image``'s per-process ray slicing + replicated-output gather.
+
+Ground truth is the SAME model/batch/steps run single-process in this test
+process: multi-host feeding must be a pure implementation detail, so the
+loss trajectory and rendered image must match to float tolerance.
+(The reference's equivalents: per-host pmap feeding datasets.py:256 and
+the all-gathered render fn train_utils.py:377-396.)
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HELPERS = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'helpers')
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+  s = socket.socket()
+  s.bind(('localhost', 0))
+  port = s.getsockname()[1]
+  s.close()
+  return port
+
+
+@pytest.fixture(scope='module')
+def two_process_results():
+  port = _free_port()
+  env = dict(os.environ)
+  env['JAX_PLATFORMS'] = 'cpu'
+  env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+  env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
+  env['MULTINERF_NO_COMPILE_CACHE'] = '1'
+  procs = [
+      subprocess.Popen(
+          [sys.executable, os.path.join(HELPERS, 'mp_worker.py'),
+           str(i), '2', str(port)],
+          env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+          text=True)
+      for i in range(2)
+  ]
+  outs = [p.communicate(timeout=600)[0] for p in procs]
+  results = []
+  for p, out in zip(procs, outs):
+    assert p.returncode == 0, f'worker failed:\n{out[-4000:]}'
+    lines = [l for l in out.splitlines() if l.startswith('RESULT ')]
+    assert lines, f'no RESULT line:\n{out[-4000:]}'
+    results.append(json.loads(lines[-1][len('RESULT '):]))
+  return results
+
+
+def test_two_process_cluster_forms(two_process_results):
+  for r in two_process_results:
+    assert r['n_processes'] == 2
+    assert r['n_devices'] == 8
+
+
+def test_multiprocess_matches_single_process(two_process_results):
+  sys.path.insert(0, HELPERS)
+  import mp_worker
+  single = mp_worker.run(num_processes=1)
+
+  for r in two_process_results:
+    assert np.isfinite(r['losses']).all()
+    # Multi-host feeding is an implementation detail: same losses, same
+    # rendered image as the single-process ground truth.
+    np.testing.assert_allclose(r['losses'], single['losses'],
+                               rtol=1e-4, atol=1e-6)
+    assert r['rgb_shape'] == single['rgb_shape']
+    np.testing.assert_allclose(r['rgb_sum'], single['rgb_sum'],
+                               rtol=1e-3)
+
+  # Both processes computed identical (replicated) results.
+  np.testing.assert_allclose(two_process_results[0]['losses'],
+                             two_process_results[1]['losses'], rtol=1e-6)
