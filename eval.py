@@ -58,7 +58,8 @@ def main(unused_argv):
   else:
     cc_fun = image_ops.color_correct
 
-  metric_harness = image_ops.MetricHarness()
+  metric_harness = image_ops.MetricHarness(
+      lpips_weights_path=config.lpips_weights_path)
 
   last_step = 0
   out_dir = os.path.join(

@@ -133,6 +133,10 @@ class Config:
   eval_dataset_limit: int = jnp.iinfo(jnp.int32).max  # Max test images.
   eval_quantize_metrics: bool = True  # Run metrics on 8-bit images.
   eval_crop_borders: int = 0  # Crop border pixels before metrics.
+  # Path to exported VGG-LPIPS weights (.npz, see ops/lpips.py); when set,
+  # eval also writes metric_lpips_{step}.txt.  New field (the reference's
+  # tables consume LPIPS but it never computes it in code).
+  lpips_weights_path: Optional[str] = None
 
   # --- Render. ---------------------------------------------------------------
   render_video_fps: int = 60

@@ -338,17 +338,24 @@ def render_image(render_fn, rays: types.Rays, rng, config,
       chunk_rays = mesh_lib.shard_batch_to_global(mesh, local)
 
     chunk_renderings, _ = render_fn(rng, chunk_rays)
-    chunk_renderings = jax.device_get(chunk_renderings)
+    # Stay on device: no per-chunk host fetch.  Dispatches queue
+    # asynchronously, so the loop's only host work is slicing ray pytrees;
+    # the single transfer happens once at the end (on the tunnelled-TPU
+    # platform each fetch costs a full round trip, which used to serialize
+    # every chunk).
     if padding:
       chunk_renderings = jax.tree_util.tree_map(
           lambda v: v[:-padding] if v.shape[0] == actual + padding else v,
           chunk_renderings)
 
     # Keep the final level's image buffers and every level's ray bundles.
+    # Bundles are vis-only: cap them at vis_num_rays per chunk on device so
+    # a full-resolution render doesn't hold [num_rays, samples] histograms.
     chunk_rendering = chunk_renderings[-1]
     for k in chunk_renderings[0]:
       if k.startswith('ray_'):
-        chunk_rendering[k] = [r[k] for r in chunk_renderings]
+        chunk_rendering[k] = [r[k][:config.vis_num_rays]
+                              for r in chunk_renderings]
     chunks.append(chunk_rendering)
 
   rendering = jax.tree_util.tree_map(
@@ -366,5 +373,8 @@ def render_image(render_fn, rays: types.Rays, rng, config,
     ray_idx = ray_idx[:config.vis_num_rays]
     for k in keys:
       rendering[k] = [r[ray_idx] for r in rendering[k]]
+
+  # ONE host transfer for the whole image.
+  rendering = jax.device_get(rendering)
 
   return rendering

@@ -177,12 +177,19 @@ def ssim(img0, img1, max_val=1.0, filter_size=11, filter_sigma=1.5,
 
 
 class MetricHarness:
-  """Evaluates PSNR and SSIM between a predicted and ground-truth image."""
+  """Evaluates PSNR, SSIM (and LPIPS when weights are configured) between a
+  predicted and ground-truth image."""
 
-  def __init__(self):
+  def __init__(self, lpips_weights_path=None):
     self.ssim_fn = jax.jit(ssim)
+    from multinerf_tpu.ops import lpips as lpips_lib
+    self.lpips_fn = lpips_lib.try_load(lpips_weights_path)
 
   def __call__(self, rgb_pred, rgb_gt, name_fn=lambda s: s):
     psnr = float(mse_to_psnr(((rgb_pred - rgb_gt)**2).mean()))
     ssim_val = float(self.ssim_fn(rgb_pred, rgb_gt))
-    return {name_fn('psnr'): psnr, name_fn('ssim'): ssim_val}
+    out = {name_fn('psnr'): psnr, name_fn('ssim'): ssim_val}
+    if self.lpips_fn is not None:
+      out[name_fn('lpips')] = self.lpips_fn(
+          jnp.asarray(rgb_pred, jnp.float32), jnp.asarray(rgb_gt, jnp.float32))
+    return out

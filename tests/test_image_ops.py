@@ -83,6 +83,30 @@ def test_ssim_matches_naive_reference():
   assert abs(got - want) < 1e-4
 
 
+def test_ssim_closed_form_constant_images():
+  """Analytic anchor no implementation detail can fake.
+
+  For constant images x=a, y=b every windowed mean is exactly the constant
+  and every windowed (co)variance exactly zero — independent of padding
+  convention, window shape, or normalization — so SSIM collapses to the
+  closed-form luminance term (2ab + C1)/(a^2 + b^2 + C1) (Wang et al. 2004
+  Eq. 6 with the contrast/structure terms at their C2/C2 limit).  Pins the
+  constants and their placement against the published formula, guarding
+  the shared-misunderstanding risk of two in-house implementations
+  (dm_pix/skimage are absent from this environment by design).
+  """
+  for a, b in [(0.25, 0.75), (0.0, 1.0), (0.4, 0.4)]:
+    img0 = np.full((24, 24, 3), a, np.float32)
+    img1 = np.full((24, 24, 3), b, np.float32)
+    c1 = 0.01**2
+    want = (2 * a * b + c1) / (a * a + b * b + c1)
+    got = float(image_ops.ssim(img0, img1))
+    # float32 moment cancellation (filt(x^2) - mu^2 ~ 1e-8 against
+    # C2 = 9e-4) leaves ~1e-4 of noise; a misplaced constant would be
+    # off by >1e-2.
+    assert abs(got - want) < 3e-4, (a, b, got, want)
+
+
 def test_ssim_decreases_with_noise():
   rng = np.random.RandomState(3)
   img = rng.rand(32, 32, 3).astype(np.float32)

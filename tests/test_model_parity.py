@@ -229,16 +229,31 @@ def test_gradient_parity_with_reference():
         err_msg=key)
 
 
-def test_refnerf_forward_parity():
+@pytest.mark.parametrize('use_ide', [False, True])
+def test_refnerf_forward_parity(use_ide):
   """Ref-NeRF wiring parity: density-gradient normals (sum-trick vs the
   reference's per-sample vmapped value_and_grad), predicted normals,
-  reflections, n.v, diffuse/specular split.  (IDE is excluded: the
-  reference's SH coefficients use np.math, removed in numpy 2; our IDE is
-  scipy-verified in test_ref_utils.py.)"""
+  reflections, n.v, diffuse/specular split, and (use_ide=True) the full
+  integrated directional encoding.  The reference spells stdlib math as
+  np.math (a numpy<2 alias); the alias is restored for the duration so its
+  IDE executes as the oracle."""
+  import math as _math
+  import numpy as _np
+  if use_ide and not hasattr(_np, 'math'):
+    _np.math = _math
+  try:
+    _refnerf_forward_parity_impl(use_ide)
+  finally:
+    if use_ide and getattr(_np, 'math', None) is _math:
+      del _np.math
+
+
+def _refnerf_forward_parity_impl(use_ide):
   nerf_kw = dict(MLP_KW, disable_density_normals=False,
                  enable_pred_normals=True, use_reflections=True,
                  use_n_dot_v=True, use_diffuse_color=True,
-                 use_specular_tint=True, enable_pred_roughness=True)
+                 use_specular_tint=True, enable_pred_roughness=True,
+                 use_directional_enc=use_ide)
   prop_kw = dict(MLP_KW, disable_rgb=True)
   model_kw = dict(MODEL_KW, single_mlp=False, anneal_slope=0.0,
                   dilation_multiplier=0.0, dilation_bias=0.0)

@@ -202,21 +202,27 @@ def test_geopoly_parity():
 
 
 def test_ide_parity():
-  xyz = RNG.randn(64, 3).astype(np.float32)
-  xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
-  kappa_inv = (RNG.rand(64, 1) * 0.5).astype(np.float32)
-  for deg in [2, 4, 5]:
-    try:
+  # The reference spells stdlib math as `np.math` (a numpy<2 alias removed
+  # in numpy 2); restore the alias for the duration so its IDE — the only
+  # reference numeric that otherwise can't execute here — runs as the
+  # oracle.
+  import math as _math
+  had = hasattr(np, 'math')
+  if not had:
+    np.math = _math
+  try:
+    xyz = RNG.randn(64, 3).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    kappa_inv = (RNG.rand(64, 1) * 0.5).astype(np.float32)
+    for deg in [2, 4, 5]:
       ref_fn = ref_refutils.generate_ide_fn(deg)
       ref = ref_fn(jnp.array(xyz), jnp.array(kappa_inv))
-    except AttributeError:
-      # The reference uses np.math.factorial, removed in numpy 2; its IDE
-      # cannot run here.  Ours is cross-checked against scipy spherical
-      # harmonics in test_ref_utils.py instead.
-      pytest.skip('reference IDE incompatible with numpy 2')
-    ours = ref_utils.generate_ide_fn(deg)(jnp.array(xyz),
-                                          jnp.array(kappa_inv))
-    np.testing.assert_allclose(np.array(ours), np.array(ref), atol=2e-5)
+      ours = ref_utils.generate_ide_fn(deg)(jnp.array(xyz),
+                                            jnp.array(kappa_inv))
+      np.testing.assert_allclose(np.array(ours), np.array(ref), atol=2e-5)
+  finally:
+    if not had:
+      del np.math
 
 
 def test_reflect_and_mae_parity():
