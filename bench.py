@@ -41,7 +41,7 @@ WARMUP_STEPS = 5
 TIMED_STEPS = 20
 
 
-def build(config_overrides, gin_overrides):
+def build(config_overrides, gin_overrides, cull=False):
   from multinerf_tpu import configs as configs_lib
   from multinerf_tpu import ginlite
   from multinerf_tpu import train_lib
@@ -70,8 +70,19 @@ def build(config_overrides, gin_overrides):
 
   mesh = mesh_lib.create_mesh()
   rng = jax.random.PRNGKey(0)
-  _, state, _, train_pstep, _ = train_lib.setup_model(config, rng, mesh=mesh)
+  model, state, _, train_pstep, _ = train_lib.setup_model(config, rng,
+                                                          mesh=mesh)
+  if cull:
+    train_pstep = train_lib.create_train_step(model, config, mesh, cull=True)
   state = jax.device_put(state, mesh_lib.replicated(mesh))
+  if cull:
+    # Throughput is capacity-determined, not grid-determined; a half-
+    # occupied grid exercises the realistic keep/overflow mix.
+    g = np.zeros(config.occupancy_grid_resolution ** 3, np.float32)
+    g[::2] = 1.0
+    params = dict(state.params)
+    params['occupancy'] = {'grid': jnp.asarray(g)}
+    state = state.replace(params=params)
 
   # Synthetic batch with realistic ray geometry.
   rs = np.random.RandomState(0)
@@ -145,9 +156,21 @@ def time_reference_impl():
 
 
 def main():
-  # Optimized path: analytic contraction Jacobian (ops.coord fast path).
+  # Optimized path: analytic contraction Jacobian, recurrence IPE, fused
+  # featurize+matmul Pallas kernel (all equivalence-tested; same algorithm
+  # as the reference).
   state, step_fn, batch = build({}, [])
   rays_per_sec = time_variant(state, step_fn, batch)
+
+  # Occupancy-culled path (models/culling.py): same model, final level
+  # evaluated only on grid-occupied samples at this capacity.  Engages
+  # self-gated in real training (train.py); quality evidence at this
+  # capacity: docs/cull_quality.json (dummy_sphere, held-out PSNR).
+  cull_capacity = 0.5
+  state_c, step_c, batch_c = build(
+      {'occupancy_culling': True, 'occupancy_capacity_frac': cull_capacity},
+      [], cull=True)
+  culled_rays_per_sec = time_variant(state_c, step_c, batch_c)
 
   # Reference-algorithm path: the env toggle selects the reference's
   # formulations throughout (autodiff-linearized contraction coord.py:39-60,
@@ -167,6 +190,7 @@ def main():
   ref_impl_rays_per_sec = time_reference_impl()
 
   n_chips = jax.device_count()
+  denom = ref_impl_rays_per_sec or ref_algo_rays_per_sec
   result = {
       'metric': 'train_rays_per_sec_per_chip_360',
       'value': round(rays_per_sec / n_chips, 1),
@@ -175,10 +199,14 @@ def main():
       # the BASELINE.md north-star denominator (train.py:185-186
       # train_rays_per_sec).  Falls back to the reference-algorithms
       # harness if the checkout is missing.
-      'vs_baseline': round(
-          rays_per_sec / (ref_impl_rays_per_sec or ref_algo_rays_per_sec),
-          3),
+      'vs_baseline': round(rays_per_sec / denom, 3),
       'vs_reference_algos': round(rays_per_sec / ref_algo_rays_per_sec, 3),
+      # Occupancy-culled step (engages self-gated in training once the
+      # measured empty fraction affords the capacity).
+      'culled_rays_per_sec_per_chip': round(culled_rays_per_sec / n_chips,
+                                            1),
+      'vs_baseline_culled': round(culled_rays_per_sec / denom, 3),
+      'cull_capacity_frac': cull_capacity,
   }
   if ref_impl_rays_per_sec is not None:
     result['vs_reference_impl'] = round(

@@ -95,6 +95,18 @@ class Config:
   # call as one lax.scan (removes per-step host dispatch). Must divide
   # print_every, checkpoint_every, train_render_every, and gc_every.
   steps_per_jit_call: int = 1
+  # --- Occupancy culling (new capability, models/culling.py; off by
+  # default because it changes the work done per sample and needs per-scene
+  # quality validation). The final NerfMLP level only evaluates samples
+  # whose contraction-space grid cell clears the density threshold,
+  # compacted batch-wide to a static capacity.
+  occupancy_culling: bool = False
+  occupancy_grid_resolution: int = 64  # Grid cells per axis over [-2, 2]^3.
+  occupancy_grid_decay: float = 0.97  # EMA-max decay per update.
+  occupancy_threshold: float = 5e-3  # Density below this = empty cell.
+  occupancy_capacity_frac: float = 0.5  # Compact buffer / full batch size.
+  occupancy_warmup_steps: int = 512  # Cull-free steps while the grid warms.
+  occupancy_grid_refresh_every: int = 256  # Steps between MLP grid probes.
   data_loss_type: str = 'charb'  # mse | charb | rawnerf | robustnerf.
   charb_padding: float = 0.001  # Charbonnier padding.
   data_loss_mult: float = 1.0  # Mult for the finest data loss.

@@ -43,6 +43,64 @@ def random_split(rng):
   return key, rng
 
 
+class _FusedIPEDense(nn.Module):
+  """First trunk layer: featurize+matmul in one Pallas kernel.
+
+  Param tree ({kernel [2*D*L, features], bias}) is identical to the
+  ``nn.Dense`` it replaces — instantiated under the same name, it draws the
+  same init values, so fused and unfused checkpoints are interchangeable.
+  """
+  features: int
+  basis: Any  # [3, L] numpy
+  min_deg: int
+  max_deg: int
+  use_contract: bool
+  kernel_init: Any
+  interpret: bool = False
+
+  @nn.compact
+  def __call__(self, means, covs):
+    from multinerf_tpu.ops.pallas import featurize_dense as fd
+    num_feats = 2 * (self.max_deg - self.min_deg) * self.basis.shape[-1]
+    kernel = self.param('kernel', self.kernel_init,
+                        (num_feats, self.features))
+    bias = self.param('bias', jax.nn.initializers.zeros, (self.features,))
+    return fd.featurize_dense(means, covs, kernel, bias, self.basis,
+                              self.min_deg, self.max_deg,
+                              use_contract=self.use_contract,
+                              interpret=self.interpret)
+
+
+class _SplitSkipDense(nn.Module):
+  """Skip-connection layer without materializing the feature concat.
+
+  ``concat([x, feats]) @ W == x @ W[:width_x] + feats @ W[width_x:]`` — the
+  feats half runs through the fused featurize+matmul kernel (features are
+  recomputed in VMEM, never stored), the x half is a plain matmul.  Param
+  shapes/name match the unfused ``nn.Dense`` exactly.
+  """
+  features: int
+  basis: Any
+  min_deg: int
+  max_deg: int
+  use_contract: bool
+  kernel_init: Any
+  interpret: bool = False
+
+  @nn.compact
+  def __call__(self, x, means, covs):
+    from multinerf_tpu.ops.pallas import featurize_dense as fd
+    num_feats = 2 * (self.max_deg - self.min_deg) * self.basis.shape[-1]
+    width_x = x.shape[-1]
+    kernel = self.param('kernel', self.kernel_init,
+                        (width_x + num_feats, self.features))
+    bias = self.param('bias', jax.nn.initializers.zeros, (self.features,))
+    return x @ kernel[:width_x] + fd.featurize_dense(
+        means, covs, kernel[width_x:], bias, self.basis, self.min_deg,
+        self.max_deg, use_contract=self.use_contract,
+        interpret=self.interpret)
+
+
 class MLP(nn.Module):
   """A positional-encoding MLP with optional Ref-NeRF heads."""
   net_depth: int = 8  # Depth of the density trunk.
@@ -80,9 +138,11 @@ class MLP(nn.Module):
   warp_fn: Callable[..., Any] = None  # Coordinate warp (e.g. contract).
   basis_shape: str = 'icosahedron'  # Basis polyhedron: octahedron/icosahedron.
   basis_subdivisions: int = 2  # Basis tesselation count.
-  # Experimental fused Pallas featurization kernel (equivalence-tested;
-  # currently slower than the lifted-IPE XLA path, so opt-in only).
-  use_fused_featurize: Any = False
+  # Fused featurize->first-matmul Pallas kernel (ops/pallas/featurize_dense):
+  # None = auto (on for TPU in every eligible config: density normals
+  # disabled, contract-or-no warp); False = force XLA path; True = force on
+  # (interpreted when running on CPU — used by tests).
+  use_fused_featurize: Any = None
 
   def setup(self):
     if self.use_reflections and not (self.enable_pred_normals or
@@ -121,32 +181,63 @@ class MLP(nn.Module):
       gradients (for losses).
     """
     del imageplane  # Reserved.
-    dense = functools.partial(
-        nn.Dense, kernel_init=getattr(jax.nn.initializers, self.weight_init)())
+    import itertools
+    import os
+    kernel_init = getattr(jax.nn.initializers, self.weight_init)()
+    # Explicit creation-order names (== flax's auto names): the fused path
+    # below replaces two nn.Dense layers with param-compatible custom
+    # modules, and explicit numbering keeps every checkpoint key identical
+    # in both modes.
+    _dense_ids = itertools.count()
+    dense = lambda features: nn.Dense(
+        features, kernel_init=kernel_init, name=f'Dense_{next(_dense_ids)}')
 
     density_key, rng = random_split(rng)
 
-    # The experimental Pallas featurize kernel loses to XLA on this chain
-    # (narrow-lane padding dominates); opt in explicitly to experiment.
-    use_fused_feat = bool(self.use_fused_featurize)
-    # The kernel is forward-only; density-gradient normals differentiate
-    # the chain w.r.t. means, and it only implements the contract warp.
-    if (not self.disable_density_normals or
-        self.warp_fn not in (None, coord.contract)):
-      use_fused_feat = False
+    reference_algos = os.environ.get('MULTINERF_REFERENCE_ALGOS') == '1'
+    # Fused featurize+first-matmul kernel: gradients w.r.t. sample
+    # positions are cut (fine exactly when density normals are off — same
+    # stop-gradient contract as the reference's sampling), and the trunk's
+    # last layer must not be a skip point (its output would re-concat
+    # features into the heads).
+    use_fused_feat = self.use_fused_featurize
+    fused_eligible = (
+        self.disable_density_normals and
+        self.warp_fn in (None, coord.contract) and
+        not reference_algos and
+        (self.net_depth <= 1 or (self.net_depth - 1) % self.skip_layer != 0))
+    if use_fused_feat is None:
+      use_fused_feat = fused_eligible and jax.default_backend() != 'cpu'
+    elif use_fused_feat:
+      use_fused_feat = fused_eligible
+    fused_kw = dict(
+        basis=self.pos_basis_t, min_deg=self.min_deg_point,
+        max_deg=self.max_deg_point,
+        use_contract=self.warp_fn is coord.contract,
+        kernel_init=kernel_init,
+        interpret=jax.default_backend() == 'cpu')
 
     def predict_density(means, covs):
       """Featurize Gaussians and run the density trunk."""
       if use_fused_feat:
-        from multinerf_tpu.ops.pallas import featurize as pallas_featurize
-        feats = pallas_featurize.fused_ipe_features(
-            means, covs, self.pos_basis_t, self.min_deg_point,
-            self.max_deg_point, use_contract=self.warp_fn is coord.contract)
+        # Features live only in VMEM: the first layer and every skip-point
+        # layer recompute+contract them in one Pallas kernel each.
+        x = _FusedIPEDense(features=self.net_width,
+                           name=f'Dense_{next(_dense_ids)}',
+                           **fused_kw)(means, covs)
+        x = self.net_activation(x)
+        for i in range(1, self.net_depth):
+          if (i - 1) % self.skip_layer == 0 and (i - 1) > 0:
+            x = _SplitSkipDense(features=self.net_width,
+                                name=f'Dense_{next(_dense_ids)}',
+                                **fused_kw)(x, means, covs)
+          else:
+            x = dense(self.net_width)(x)
+          x = self.net_activation(x)
       else:
         if self.warp_fn is not None:
           means, covs = coord.track_linearize(self.warp_fn, means, covs)
-        import os
-        if os.environ.get('MULTINERF_REFERENCE_ALGOS') == '1':
+        if reference_algos:
           # The reference's composed featurization (bench baseline).
           lifted_means, lifted_vars = coord.lift_and_diagonalize(
               means, covs, jnp.asarray(self.pos_basis_t))
@@ -161,13 +252,13 @@ class MLP(nn.Module):
               means, covs, self.pos_basis_t, self.min_deg_point,
               self.max_deg_point)
 
-      x = feats
-      inputs = feats
-      for i in range(self.net_depth):
-        x = dense(self.net_width)(x)
-        x = self.net_activation(x)
-        if i % self.skip_layer == 0 and i > 0:
-          x = jnp.concatenate([x, inputs], axis=-1)
+        x = feats
+        inputs = feats
+        for i in range(self.net_depth):
+          x = dense(self.net_width)(x)
+          x = self.net_activation(x)
+          if i % self.skip_layer == 0 and i > 0:
+            x = jnp.concatenate([x, inputs], axis=-1)
       raw_density = dense(1)(x)[..., 0]
       if (density_key is not None) and (self.density_noise > 0):
         raw_density += self.density_noise * jax.random.normal(

@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from multinerf_tpu import ginlite
 from multinerf_tpu.data import types
+from multinerf_tpu.models import culling
 from multinerf_tpu.models.mlp import NerfMLP, PropMLP, random_split
 from multinerf_tpu.ops import coord
 from multinerf_tpu.ops import rendering
@@ -63,7 +64,8 @@ class Model(nn.Module):
   opaque_background: bool = False  # Treat background as opaque.
 
   @nn.compact
-  def __call__(self, rng, rays, train_frac, compute_extras, zero_glo=True):
+  def __call__(self, rng, rays, train_frac, compute_extras, zero_glo=True,
+               cull=False):
     """Render a batch of rays through all sampling levels.
 
     Args:
@@ -73,6 +75,10 @@ class Model(nn.Module):
       compute_extras: compute extra visualization/stat quantities.
       zero_glo: feed zero GLO vectors (used at eval, where cam_idx is
         meaningless for training embeddings).
+      cull: (static) evaluate the final level through the occupancy-grid
+        compaction (models/culling.py). Requires Config.occupancy_culling
+        (which allocates the grid); train.py turns this on after the
+        grid-warmup steps.
 
     Returns:
       (renderings, ray_history): per-level rendering dicts and raw results.
@@ -81,6 +87,16 @@ class Model(nn.Module):
     # module name.
     nerf_mlp = ginlite.make('NerfMLP')
     prop_mlp = nerf_mlp if self.single_mlp else ginlite.make('PropMLP')
+
+    track_occupancy = (self.config is not None and
+                       getattr(self.config, 'occupancy_culling', False))
+    if track_occupancy:
+      grid_res = self.config.occupancy_grid_resolution
+      occupancy_grid = self.variable(
+          'occupancy', 'grid',
+          lambda: jnp.zeros((grid_res ** 3,), jnp.float32))
+    if cull and not track_occupancy:
+      raise ValueError('cull=True requires Config.occupancy_culling.')
 
     if self.num_glo_features > 0:
       if not zero_glo:
@@ -187,14 +203,49 @@ class Model(nn.Module):
 
       mlp = prop_mlp if is_prop else nerf_mlp
       key, rng = random_split(rng)
-      ray_results = mlp(
-          key,
-          gaussians,
-          viewdirs=rays.viewdirs if self.use_viewdirs else None,
-          imageplane=rays.imageplane,
-          glo_vec=None if is_prop else glo_vec,
-          exposure=rays.exposure_values,
-      )
+      if cull and not is_prop:
+        # Empty-space culling: only samples whose occupancy cell clears the
+        # density threshold reach the (8x1024) NerfMLP, compacted batch-wide
+        # to a static-capacity buffer (models/culling.py).
+        occ = culling.lookup(occupancy_grid.value, gaussians[0], grid_res)
+        keep = occ > self.config.occupancy_threshold
+        if self.opaque_background:
+          # The terminal interval's alpha is forced to 1 regardless of its
+          # density (rendering.compute_alpha_weights), so a culled last
+          # sample would paint the whole ray with the rgb fill (black).
+          keep = keep.at[..., -1].set(True)
+        ray_results = culling.apply_culled(
+            mlp, key, gaussians,
+            keep=keep,
+            capacity_frac=self.config.occupancy_capacity_frac,
+            viewdirs=rays.viewdirs if self.use_viewdirs else None,
+            imageplane=rays.imageplane,
+            glo_vec=glo_vec,
+            exposure=rays.exposure_values,
+        )
+      else:
+        ray_results = mlp(
+            key,
+            gaussians,
+            viewdirs=rays.viewdirs if self.use_viewdirs else None,
+            imageplane=rays.imageplane,
+            glo_vec=None if is_prop else glo_vec,
+            exposure=rays.exposure_values,
+        )
+      if track_occupancy and not is_prop:
+        # Online grid feedback for the training step (consumed by
+        # train_lib; stop-gradded scalars, no effect on the loss).
+        ray_results['occ_cells'] = culling.cell_ids(gaussians[0], grid_res)
+        ray_results['occ_density'] = jax.lax.stop_gradient(
+            ray_results['density'])
+        if not cull:
+          # Measured even while not culling: train.py engages the culled
+          # step only once this drops below the capacity — culling a scene
+          # whose occupied fraction exceeds capacity would drop live
+          # samples and bias the learned field.
+          occ = culling.lookup(occupancy_grid.value, gaussians[0], grid_res)
+          ray_results['occ_keep_frac'] = jnp.mean(
+              (occ > self.config.occupancy_threshold).astype(jnp.float32))
 
       weights = rendering.compute_alpha_weights(
           ray_results['density'], tdist, rays.directions,

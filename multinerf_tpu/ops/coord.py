@@ -177,6 +177,10 @@ def integrated_pos_enc_lifted(mean, cov, basis, min_deg, max_deg):
   to float tolerance to
       integrated_pos_enc(*lift_and_diagonalize(mean, cov, basis), ...).
 
+  By default the per-degree transcendentals are replaced with double-angle /
+  squaring recurrences (see ``_integrated_pos_enc_lifted_recurrence``); set
+  ``MULTINERF_IPE_RECURRENCE=0`` for the direct exp/sin formulation.
+
   Args:
     mean: [..., 3] Gaussian means.
     cov:  [..., 3, 3] full covariances.
@@ -186,6 +190,11 @@ def integrated_pos_enc_lifted(mean, cov, basis, min_deg, max_deg):
   Returns:
     [..., 2 * L * (max_deg - min_deg)] features.
   """
+  import os
+  if (os.environ.get('MULTINERF_IPE_RECURRENCE', '1') != '0' and
+      (max_deg - min_deg) > 2):
+    return _integrated_pos_enc_lifted_recurrence(mean, cov, basis, min_deg,
+                                                 max_deg)
   basis = np.asarray(basis)
   degs = np.arange(min_deg, max_deg)
   scales = 2.0 ** degs
@@ -202,6 +211,87 @@ def integrated_pos_enc_lifted(mean, cov, basis, min_deg, max_deg):
   return jnp.concatenate(
       [atten * mathx.safe_sin(args),
        atten * mathx.safe_sin(args + 0.5 * jnp.pi)], axis=-1)
+
+
+def _integrated_pos_enc_lifted_recurrence(mean, cov, basis, min_deg, max_deg,
+                                          anchor_every=4):
+  """Lifted IPE with degree recurrences instead of per-degree transcendentals.
+
+  The frequency octaves are exact doublings, so adjacent degrees are related
+  algebraically:
+
+      sin(2^{d+1} a) = 2 sin(2^d a) cos(2^d a)
+      cos(2^{d+1} a) = 1 - 2 sin^2(2^d a)
+      exp(-4^{d+1} v / 2) = exp(-4^d v / 2) ** 4     (two squarings)
+
+  Only every ``anchor_every``-th degree evaluates sin/cos/exp directly (which
+  also bounds the recurrence's float drift at ~2^anchor_every * eps); the
+  degrees in between are a handful of VPU multiplies.  This removes ~3/4 of
+  the transcendental work in the forward pass and *all* of it from the
+  backward pass (the cosines that d/dx sin needs already exist as recurrence
+  state), on the op the reference evaluates literally per degree
+  (google-research/multinerf internal/coord.py:107-133, math.py:26-38).
+
+  The per-degree blocks are only L≈21 features wide, which would waste 5/6
+  of each 128-lane VPU word, so everything here runs TRANSPOSED — [L, N]
+  with the flattened batch in the lane dimension — and one final transpose
+  restores the caller's layout (deg-major features, sin half then cos half,
+  identical to the direct formulation).
+
+  Args:
+    mean: [..., 3] Gaussian means.
+    cov:  [..., 3, 3] full covariances.
+    basis: [3, L] projection basis (host-side numpy or jnp).
+    min_deg, max_deg: frequency band.
+    anchor_every: degrees between exact re-anchoring evaluations.
+
+  Returns:
+    [..., 2 * L * (max_deg - min_deg)] features.
+  """
+  basis = np.asarray(basis, np.float32)  # [3, L]
+  num_dims = basis.shape[-1]
+  num_degs = max_deg - min_deg
+  batch_shape = mean.shape[:-1]
+
+  base_scale = 2.0 ** min_deg
+  basis_t = jnp.asarray(base_scale * basis.T)  # [L, 3]
+  # [L, 9]: row l = vec(b_l b_l^T), so var = bb_t @ vec(cov).
+  bb_t = jnp.asarray(
+      (base_scale * base_scale) *
+      np.einsum('ik,jk->kij', basis, basis).reshape(num_dims, 9))
+
+  mean_flat = mean.reshape(-1, 3)
+  cov_flat = cov.reshape(-1, 9)
+  # Transposed projections: [L, N] with the big batch dim in the lanes.
+  args0 = jnp.einsum('lk,nk->ln', basis_t, mean_flat,
+                     precision=jax.lax.Precision.HIGHEST)
+  var0 = jnp.einsum('lk,nk->ln', bb_t, cov_flat,
+                    precision=jax.lax.Precision.HIGHEST)
+
+  sins, coss = [], []
+  s = c = e = None
+  for d in range(num_degs):
+    if d % anchor_every == 0:
+      freq = 2.0 ** d
+      a = args0 if d == 0 else freq * args0
+      s, c = mathx.safe_sin(a), mathx.safe_cos(a)
+      # Variances are >= 0 so the argument is <= 0: no overflow clamp needed.
+      e = jnp.exp((-0.5 * freq * freq) * var0)
+    else:
+      s, c = 2.0 * (s * c), 1.0 - 2.0 * (s * s)
+      e2 = e * e
+      e = e2 * e2
+    sins.append(e * s)
+    coss.append(e * c)
+
+  feat_t = jnp.concatenate(sins + coss, axis=0)  # [2*D*L, N], deg-major.
+  if jax.default_backend() != 'cpu':
+    # bf16 storage is numerically free on TPU — the consuming matmuls round
+    # their inputs to bf16 anyway (one-pass DEFAULT precision) — and halves
+    # the HBM traffic of the transpose and of the trunk's first layer.
+    # (Kept f32 on CPU, where matmuls are true f32 and tests run.)
+    feat_t = feat_t.astype(jnp.bfloat16)
+  return feat_t.T.reshape(batch_shape + (2 * num_degs * num_dims,))
 
 
 def pos_enc(x, min_deg, max_deg, append_identity=True):

@@ -191,7 +191,10 @@ def predicted_normal_loss(model, ray_history, config):
 
 def clip_gradients(grad, config):
   """Clip gradients of each top-level module (MLP) individually."""
-  grad_clipped = {'params': {}}
+  # Non-'params' collections (e.g. the occupancy grid, which gets a zero
+  # cotangent) pass through untouched so the tree structure is preserved.
+  grad_clipped = {k: v for k, v in grad.items()}
+  grad_clipped['params'] = {}
   for k, g in grad['params'].items():
     if config.grad_max_val > 0:
       g = jax.tree_util.tree_map(
@@ -229,7 +232,8 @@ def create_optimizer(config, variables) -> Tuple[TrainState, Callable]:
 # --- Train / eval step factories. ---------------------------------------------------
 
 
-def create_train_step(model, config, mesh, dataset=None, jit=True):
+def create_train_step(model, config, mesh, dataset=None, jit=True,
+                      cull=False):
   """Build the jitted SPMD training step.
 
   The returned function takes and returns *global* arrays laid out on
@@ -237,6 +241,10 @@ def create_train_step(model, config, mesh, dataset=None, jit=True):
   gradient all-reduce is inserted by GSPMD, riding ICI.  With jit=False the
   raw python step is returned for embedding into a larger jit (the
   device-resident data plane wraps it with on-device batch sampling).
+
+  With ``cull=True`` (requires Config.occupancy_culling) the model runs the
+  final level through the occupancy-grid compaction; train.py compiles a
+  cull=False variant for the grid-warmup phase and switches after.
   """
   if dataset is None:
     camtype = camera_lib.ProjectionType.PERSPECTIVE
@@ -266,7 +274,8 @@ def create_train_step(model, config, mesh, dataset=None, jit=True):
           rays,
           train_frac=train_frac,
           compute_extras=compute_extras,
-          zero_glo=False)
+          zero_glo=False,
+          cull=cull)
 
       losses = {}
       data_loss, stats = compute_data_loss(batch, renderings, rays,
@@ -295,6 +304,14 @@ def create_train_step(model, config, mesh, dataset=None, jit=True):
 
       stats['loss'] = jnp.sum(jnp.array(list(losses.values())))
       stats['losses'] = losses
+      if config.occupancy_culling:
+        # Aux for the grid update below; popped before stats leave the step.
+        stats['occ_cells'] = ray_history[-1]['occ_cells']
+        stats['occ_density'] = ray_history[-1]['occ_density']
+        if 'occ_keep_frac' in ray_history[-1]:
+          # Fraction of samples whose cell cleared the threshold — the
+          # number to watch when tuning occupancy_capacity_frac.
+          stats['occ_keep_frac'] = ray_history[-1]['occ_keep_frac']
       return stats['loss'], stats
 
     loss_grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -309,6 +326,17 @@ def create_train_step(model, config, mesh, dataset=None, jit=True):
     grad = jax.tree_util.tree_map(jnp.nan_to_num, grad)
 
     new_state = state.apply_gradients(grads=grad)
+
+    if config.occupancy_culling:
+      from multinerf_tpu.models import culling
+      cells = stats.pop('occ_cells')
+      dens = stats.pop('occ_density')
+      new_grid = culling.update_grid(
+          state.params['occupancy']['grid'], cells, dens,
+          config.occupancy_grid_decay)
+      new_params = {k: v for k, v in new_state.params.items()}
+      new_params['occupancy'] = {'grid': new_grid}
+      new_state = new_state.replace(params=new_params)
 
     opt_delta = jax.tree_util.tree_map(lambda x, y: x - y, new_state,
                                        state).params['params']
@@ -331,8 +359,13 @@ def create_train_step(model, config, mesh, dataset=None, jit=True):
   return train_pstep
 
 
-def create_render_fn(model, mesh):
-  """Build the jitted SPMD eval-render function (deterministic)."""
+def create_render_fn(model, mesh, cull=False):
+  """Build the jitted SPMD eval-render function (deterministic).
+
+  ``cull=True`` renders through the occupancy grid — the regime a
+  cull-trained model was optimized in (empty cells never received
+  supervision, so bypassing the grid at eval can resurrect floaters).
+  """
 
   def render_eval_fn(variables, train_frac, _, rays):
     return model.apply(
@@ -340,7 +373,8 @@ def create_render_fn(model, mesh):
         None,  # Deterministic.
         rays,
         train_frac=train_frac,
-        compute_extras=True)
+        compute_extras=True,
+        cull=cull)
 
   repl = mesh_lib.replicated(mesh)
   data = mesh_lib.data_sharding(mesh)
@@ -367,6 +401,10 @@ def setup_model(config, rng, mesh=None, dataset=None):
   model, variables = nerf_lib.construct_model(rng, dummy, config)
 
   state, lr_fn = create_optimizer(config, variables)
+  # Rendering always evaluates every sample: culling is a TRAINING
+  # throughput feature (self-gated by measured occupancy); at render time a
+  # stale/saturated grid would silently drop live samples.  Grid-culled
+  # rendering remains available via create_render_fn(..., cull=True).
   render_eval_pfn = create_render_fn(model, mesh)
   train_pstep = create_train_step(model, config, mesh, dataset=dataset)
 

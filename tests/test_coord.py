@@ -136,6 +136,60 @@ def test_integrated_pos_enc_lifted_matches_composed():
                              atol=1e-3)
 
 
+def test_ipe_recurrence_matches_direct_formulation():
+  """Double-angle/squaring IPE == the direct exp/sin evaluation.
+
+  Stresses the recurrence where its float drift is worst: a full 12-degree
+  band, unwarped (large) means, plus the zero-covariance corner (IPE must
+  degrade to plain PE exactly: the exp recurrence keeps 1.0 bit-exact
+  through squarings).
+  """
+  import os
+  rng = np.random.RandomState(3)
+  mean = jnp.array((rng.randn(128, 3) * 50).astype(np.float32))
+  a = rng.randn(128, 3, 3).astype(np.float32) * 0.02
+  cov = jnp.array(a @ np.swapaxes(a, -1, -2))
+  basis = rng.randn(3, 21).astype(np.float32)
+
+  got = coord._integrated_pos_enc_lifted_recurrence(mean, cov, basis, 0, 12)
+  os.environ['MULTINERF_IPE_RECURRENCE'] = '0'
+  try:
+    want = coord.integrated_pos_enc_lifted(mean, cov, basis, 0, 12)
+  finally:
+    del os.environ['MULTINERF_IPE_RECURRENCE']
+  # At |mean|~50 the anchor args reach ~2000 where sin itself carries
+  # ~arg*eps ≈ 2.4e-4 of error, so the bound reflects both paths' noise.
+  np.testing.assert_allclose(np.array(got), np.array(want),
+                             rtol=1e-3, atol=5e-4)
+
+  # Zero covariance = plain PE: nothing attenuates the top octaves, so use
+  # contraction-domain means (radius <= 2, the only regime where those
+  # octaves are meaningful — at |2^11 * arg| ~ 1e5+ BOTH formulations are
+  # limited by f32 range reduction, not by the recurrence).
+  mean_c = jnp.array((rng.randn(128, 3) * 0.8).astype(np.float32))
+  zero_cov = jnp.zeros_like(cov)
+  got0 = coord._integrated_pos_enc_lifted_recurrence(
+      mean_c, zero_cov, basis, 0, 12)
+  os.environ['MULTINERF_IPE_RECURRENCE'] = '0'
+  try:
+    want0 = coord.integrated_pos_enc_lifted(mean_c, zero_cov, basis, 0, 12)
+  finally:
+    del os.environ['MULTINERF_IPE_RECURRENCE']
+  np.testing.assert_allclose(np.array(got0), np.array(want0),
+                             rtol=1e-3, atol=1e-3)
+
+  g_got = jax.grad(lambda m: coord._integrated_pos_enc_lifted_recurrence(
+      m, cov, basis, 0, 12).sum())(mean)
+  os.environ['MULTINERF_IPE_RECURRENCE'] = '0'
+  try:
+    g_want = jax.grad(lambda m: coord.integrated_pos_enc_lifted(
+        m, cov, basis, 0, 12).sum())(mean)
+  finally:
+    del os.environ['MULTINERF_IPE_RECURRENCE']
+  np.testing.assert_allclose(np.array(g_got), np.array(g_want),
+                             rtol=5e-3, atol=5e-3)
+
+
 def test_lift_and_diagonalize():
   rng = np.random.RandomState(7)
   mean = rng.randn(16, 3).astype(np.float32)

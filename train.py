@@ -74,6 +74,18 @@ def main(unused_argv):
   setup = train_lib.setup_model(config, key, mesh=mesh, dataset=dataset)
   model, state, render_eval_pfn, train_pstep, lr_fn = setup
 
+  train_pstep_cull = None
+  refresh_grid_fn = None
+  cull_engaged = False
+  if config.occupancy_culling:
+    if config.device_data_plane:
+      raise ValueError(
+          'occupancy_culling is not supported with device_data_plane yet.')
+    from multinerf_tpu.models import culling
+    train_pstep_cull = train_lib.create_train_step(
+        model, config, mesh, dataset=dataset, cull=True)
+    refresh_grid_fn = culling.make_refresh_fn(model, config, mesh)
+
   device_plane = None
   scan_steps = 1
   if config.device_data_plane:
@@ -157,8 +169,26 @@ def main(unused_argv):
     train_frac = jnp.clip((step - 1) / (config.max_steps - 1), 0, 1)
 
     if device_plane is None:
-      state, stats, rng = train_pstep(rng, state, batch, train_frac,
-                                      loss_threshold)
+      step_fn = train_pstep
+      if (train_pstep_cull is not None and cull_engaged and
+          step0 > config.occupancy_warmup_steps):
+        step_fn = train_pstep_cull
+      state, stats, rng = step_fn(rng, state, batch, train_frac,
+                                  loss_threshold)
+      if (refresh_grid_fn is not None and
+          step % config.occupancy_grid_refresh_every == 0):
+        # Probe the NerfMLP at every grid cell so wrongly-culled cells can
+        # recover (their samples never reach the MLP during normal steps).
+        new_grid = refresh_grid_fn(state.params, jax.random.PRNGKey(step))
+        state = state.replace(
+            params={**state.params, 'occupancy': {'grid': new_grid}})
+        # Self-gating: cull only while the measured occupied fraction fits
+        # the capacity — otherwise the compaction would drop LIVE samples
+        # and bias the learned density field.  Checked at refresh cadence
+        # (one scalar fetch); flips both ways as the scene evolves.
+        kf = stats.get('occ_keep_frac')
+        if kf is not None:
+          cull_engaged = float(kf) <= config.occupancy_capacity_frac
     elif scan_steps > 1:
       state, stats, rng, loss_threshold = train_pstep_device(
           rng, state, step0, loss_threshold)
