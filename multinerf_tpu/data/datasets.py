@@ -45,6 +45,7 @@ def load_dataset(split, train_dir, config):
       'dtu': DTU,
       'dummy': Dummy,
       'dummy_sphere': DummySphere,
+      'dummy_scatter': DummyScatter,
   }
   return dataset_dict[config.dataset_loader](split, train_dir, config)
 
@@ -776,5 +777,85 @@ class DummySphere(Dataset):
       self.disp_images = np.stack(disps)
     if self._load_normals:
       # Sphere normals are the (unit) hit points; background points at +z.
+      self.normal_images = self.images * 0  # Placeholder shape [N,H,W,3].
+      self.alphas = np.ones((n, res, res), np.float32)
+
+
+class DummyScatter(Dataset):
+  """Sparse synthetic scene: small spheres scattered in mostly empty space.
+
+  The occupancy-culling validation scene.  ``DummySphere``'s single unit
+  sphere fills ~half the final-level samples (the proposal concentrates
+  samples near its surface), which caps how far culling can engage.  Here a
+  handful of radius-0.35 spheres sit in a radius-1.5 cloud, so most
+  resampled intervals land in genuinely empty cells — the measured keep
+  fraction drops to real-scene levels and capacities down to ~0.25 engage
+  under train.py's self-gating.  Ground truth is analytic (nearest
+  ray-sphere hit, smooth per-sphere texture, white background), same recipe
+  as DummySphere.
+  """
+
+  NUM_IMAGES = 24
+  RESOLUTION = 48
+  RADIUS = 0.4
+  CENTERS = np.array([
+      [1.0, 0.2, 0.1], [-0.8, 0.7, -0.3], [0.1, -1.1, 0.35],
+      [-0.35, -0.45, -0.5], [0.55, 0.95, -0.2],
+  ], dtype=np.float32)
+
+  def _load_renderings(self, config):
+    n = self.NUM_IMAGES
+    res = self.RESOLUTION
+    test = self.split == types.DataSplit.TEST
+
+    poses = []
+    for i in range(n):
+      theta = 2 * np.pi * (i + (0.5 if test else 0.0)) / n
+      # Train views alternate between two heights (vertical parallax pins
+      # the spheres' z); the test ring sits between them at offset azimuth.
+      height = 1.0 if test else (0.6 if i % 2 == 0 else 1.4)
+      position = np.array(
+          [3.5 * np.cos(theta), 3.5 * np.sin(theta), height])
+      poses.append(camera_lib.viewmatrix(
+          lookdir=position, up=np.array([0.0, 0.0, 1.0]), position=position))
+    self.camtoworlds = np.stack(poses).astype(np.float32)
+    self.height = self.width = res
+    self.focal = res * 1.2
+    self.pixtocams = camera_lib.get_pixtocam(self.focal, self.width,
+                                             self.height)
+
+    images = []
+    disps = []
+    for i in range(n):
+      pix_x, pix_y = camera_lib.pixel_coordinates(res, res)
+      origins, _, viewdirs, _, _ = camera_lib.pixels_to_rays(
+          pix_x, pix_y, self.pixtocams, self.camtoworlds[i], xnp=np)
+      # Nearest positive ray-sphere hit across all spheres.
+      t_best = np.full(origins.shape[:-1], np.inf, np.float32)
+      nearest = np.zeros(origins.shape[:-1], np.int32)
+      for k, center in enumerate(self.CENTERS):
+        oc = origins - center
+        b = 2 * np.sum(oc * viewdirs, -1)
+        c = np.sum(oc ** 2, -1) - self.RADIUS ** 2
+        disc = b ** 2 - 4 * c
+        t = np.where(disc > 0, (-b - np.sqrt(np.maximum(disc, 0))) / 2,
+                     np.inf)
+        t = np.where(t > 0, t, np.inf)
+        nearest = np.where(t < t_best, k, nearest)
+        t_best = np.minimum(t_best, t)
+      hit = np.isfinite(t_best)
+      t_safe = np.where(hit, t_best, 0.0)
+      p = origins + t_safe[..., None] * viewdirs
+      # Per-sphere texture phase so neighboring spheres look distinct.
+      phase = (2 * np.pi / len(self.CENTERS)) * nearest
+      texture = 0.5 + 0.5 * np.sin(4.0 * p + phase[..., None])
+      images.append(
+          np.where(hit[..., None], texture, 1.0).astype(np.float32))
+      disps.append(np.where(hit, 1.0 / np.maximum(t_best, 1e-3),
+                            0.0).astype(np.float32))
+    self.images = np.stack(images)
+    if self._load_disps:
+      self.disp_images = np.stack(disps)
+    if self._load_normals:
       self.normal_images = self.images * 0  # Placeholder shape [N,H,W,3].
       self.alphas = np.ones((n, res, res), np.float32)

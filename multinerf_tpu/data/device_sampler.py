@@ -156,29 +156,67 @@ def create_scan_train_step(model, config, plane: DeviceDataPlane, mesh,
 
   train_frac is interpolated linearly across the inner steps from the
   (start_step, max_steps) pair passed at call time.
+
+  With ``Config.occupancy_culling`` the whole culling protocol runs
+  device-side inside the scan: both the culled and the full step are
+  compiled, a ``lax.cond`` picks per inner step, the periodic density-grid
+  refresh runs under its own cond at the configured cadence, and
+  self-gating (engage culling only while the measured keep fraction fits
+  the capacity) updates a carried flag at refresh steps — the exact
+  protocol train.py runs host-side at scan_steps == 1.
   """
   from multinerf_tpu import train_lib
+  from multinerf_tpu.models import culling
   from multinerf_tpu.parallel import mesh as mesh_lib
 
   base_step = train_lib.create_train_step(model, config, mesh, jit=False)
+  cull = bool(config.occupancy_culling)
+  if cull:
+    cull_step = train_lib.create_train_step(model, config, mesh, jit=False,
+                                            cull=True)
+    refresh = culling.make_refresh_fn(model, config, mesh, jit=False)
 
-  def multi_step(rng, state, start_step, loss_threshold):
+  def multi_step(rng, state, start_step, loss_threshold,
+                 cull_engaged=False):
     def body(carry, i):
-      rng, state, loss_threshold = carry
+      rng, state, loss_threshold, cull_engaged = carry
       rng, key = jax.random.split(rng)
       batch = plane.sample_batch(key)
-      train_frac = jnp.clip((start_step + i - 1) / (config.max_steps - 1),
-                            0, 1)
-      state, stats, rng = base_step(rng, state, batch, train_frac,
-                                    loss_threshold)
+      step_i = start_step + i
+      train_frac = jnp.clip((step_i - 1) / (config.max_steps - 1), 0, 1)
+      if cull:
+        engage = cull_engaged & (step_i > config.occupancy_warmup_steps)
+        state, stats, rng = jax.lax.cond(
+            engage, cull_step, base_step,
+            rng, state, batch, train_frac, loss_threshold)
+        at_refresh = step_i % config.occupancy_grid_refresh_every == 0
+        rng, key_probe = jax.random.split(rng)
+        new_grid = jax.lax.cond(
+            at_refresh,
+            lambda p, k: refresh(p, k),
+            lambda p, k: p['occupancy']['grid'],
+            state.params, key_probe)
+        state = state.replace(
+            params={**state.params, 'occupancy': {'grid': new_grid}})
+        cull_engaged = jnp.where(
+            at_refresh,
+            stats['occ_keep_frac'] <= config.occupancy_capacity_frac,
+            cull_engaged)
+      else:
+        state, stats, rng = base_step(rng, state, batch, train_frac,
+                                      loss_threshold)
       if config.enable_robustnerf_loss:
         loss_threshold = stats['loss_threshold']
-      return (rng, state, loss_threshold), stats
+      return (rng, state, loss_threshold, cull_engaged), stats
 
-    (rng, state, loss_threshold), stats = jax.lax.scan(
-        body, (rng, state, loss_threshold), jnp.arange(num_steps))
-    return state, stats, rng, loss_threshold
+    carry = (rng, state, loss_threshold, jnp.asarray(cull_engaged))
+    (rng, state, loss_threshold, cull_engaged), stats = jax.lax.scan(
+        body, carry, jnp.arange(num_steps))
+    # cull_engaged is threaded back to the caller so the gate persists
+    # across scan windows (a window may contain no refresh step).
+    return state, stats, rng, loss_threshold, cull_engaged
 
   repl = mesh_lib.replicated(mesh)
-  return jax.jit(multi_step, in_shardings=(repl, None, None, None),
+  return jax.jit(multi_step,
+                 in_shardings=(repl, None, None, None, None),
                  donate_argnums=(0, 1))

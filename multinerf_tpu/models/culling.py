@@ -31,6 +31,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multinerf_tpu.ops import coord
 
@@ -68,15 +69,17 @@ def update_grid(grid, cells, densities, decay: float):
   return jnp.maximum(grid * decay, hit)
 
 
-def make_refresh_fn(model, config, mesh=None):
-  """Jitted whole-grid refresh: probe the NerfMLP density at cell centers.
+def make_refresh_fn(model, config, mesh=None, jit=True):
+  """Whole-grid refresh: probe the NerfMLP density at cell centers.
 
   Recovery path for wrongly-culled cells (their samples never reach the MLP
   again, so the online update alone can only decay them).  Costs one
   density-trunk evaluation per grid cell — amortized over
   ``occupancy_grid_refresh_every`` steps it is <1% of training compute.
 
-  Returns a function (variables, rng) -> new_grid.
+  Returns a function (variables, rng) -> new_grid; ``jit=False`` returns
+  the raw python function for embedding into a larger jit (the scan-stepped
+  device data plane runs it under lax.cond inside the scan body).
   """
   resolution = config.occupancy_grid_resolution
   num_cells = resolution ** 3
@@ -112,7 +115,26 @@ def make_refresh_fn(model, config, mesh=None):
     return jnp.maximum(old * config.occupancy_grid_decay, density)
 
   del model  # The probe is rebuilt from gin so it always matches NerfMLP.
-  return jax.jit(refresh)
+  return jax.jit(refresh) if jit else refresh
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _interleave_perm(b: int, s: int):
+  """Static diagonal-interleave permutation (and inverse) for [b, s] flat.
+
+  Position i of the permuted order visits ray (i % b), sample
+  ((i // b + i % b) % s).  Host-side numpy: both directions are
+  constant-index gathers under jit.
+  """
+  i = np.arange(b * s)
+  r = i % b
+  perm = (r * s + (i // b + r) % s).astype(np.int32)
+  inv_perm = np.zeros_like(perm)
+  inv_perm[perm] = i.astype(np.int32)
+  return perm, inv_perm
 
 
 def _round_capacity(n: int, frac: float) -> int:
@@ -172,9 +194,10 @@ def apply_culled(mlp, key, gaussians, keep, capacity_frac: float,
   # SPREAD across rays AND sample depths — never every sample of the
   # trailing rays (which would zero whole pixels each step and wreck
   # training), and never systematically the far samples.
-  i = jnp.arange(n, dtype=jnp.int32)
-  r = i % b
-  perm = r * s + (i // b + r) % s
+  # The permutation (and its inverse) are pure functions of the static
+  # shape, so they are host-side constants: applying or undoing it is a
+  # constant-index gather, never a dynamic scatter.
+  perm, inv_perm = _interleave_perm(b, s)
   keep_p = keep_flat[perm]
   pos = jnp.cumsum(keep_p) - 1
   kept_p = keep_p & (pos < cap)
@@ -188,16 +211,22 @@ def apply_culled(mlp, key, gaussians, keep, capacity_frac: float,
   fill_p = (~keep_p) & (pos_fill < cap)
   slot_p = jnp.where(
       kept_p, pos, jnp.where(fill_p, pos_fill, cap)).astype(jnp.int32)
-  # Back to sample order: slot[perm[i]] = slot_p[i].
-  slot = jnp.zeros((n,), jnp.int32).at[perm].set(slot_p)
+  # Back to sample order: slot[perm[i]] = slot_p[i]  ==  slot_p[inv_perm].
+  slot = slot_p[inv_perm]
 
   # Inverse map: slot -> flat sample index.
-  inv = jnp.zeros((cap + 1,), jnp.int32).at[slot_p].set(perm, mode='drop')[
-      :cap]
+  inv = jnp.zeros((cap + 1,), jnp.int32).at[slot_p].set(
+      jnp.asarray(perm), mode='drop')[:cap]
   ray_idx = inv // s
 
-  c_means = means.reshape(n, 3)[inv][:, None, :]
-  c_covs = covs.reshape(n, 3, 3)[inv][:, None, :, :]
+  # ONE dynamic row gather for all 12 floats of sample geometry (two
+  # separate [cap, 3] / [cap, 3, 3] gathers cost ~2x on TPU: random row
+  # gathers are sector-bound, not byte-bound).
+  packed = jnp.concatenate(
+      [means.reshape(n, 3), covs.reshape(n, 9)], axis=-1)
+  c_packed = packed[inv]
+  c_means = c_packed[:, None, :3]
+  c_covs = c_packed[:, 3:].reshape(cap, 1, 3, 3)
 
   # Per-ray conditioning: flatten leading ray dims, gather by ray index.
   gather_ray = lambda x: None if x is None else x.reshape(
@@ -216,12 +245,37 @@ def apply_culled(mlp, key, gaussians, keep, capacity_frac: float,
            'grad_pred': 0.0, 'normals': 0.0, 'normals_pred': 0.0,
            'roughness': 0.0}
 
-  out = {}
+  # Scatter-back: pack every same-dtype vector/scalar field into ONE
+  # [cap + 1, C] buffer (fill row last) and do a single dynamic row gather,
+  # then split columns.  Separate narrow gathers are sector-bound.
+  packable, rest = [], {}
   for name, val in results.items():
     if val is None:
-      out[name] = None
+      rest[name] = None
       continue
     flat = val.reshape((cap,) + val.shape[2:])  # Drop the size-1 sample dim.
+    if flat.ndim <= 2 and flat.dtype == jnp.float32:
+      packable.append((name, flat.reshape(cap, -1), flat.shape[1:]))
+    else:
+      rest[name] = flat
+
+  out = {}
+  if packable:
+    cols = jnp.concatenate([f for _, f, _ in packable], axis=-1)
+    fill_row = jnp.concatenate(
+        [jnp.full((1, f.shape[-1]), fills.get(nm, 0.0), jnp.float32)
+         for nm, f, _ in packable], axis=-1)
+    gathered = jnp.concatenate([cols, fill_row], axis=0)[slot]
+    ofs = 0
+    for name, f, shape in packable:
+      w = f.shape[-1]
+      out[name] = gathered[:, ofs:ofs + w].reshape(
+          batch_shape + (s,) + shape)
+      ofs += w
+  for name, flat in rest.items():
+    if flat is None:
+      out[name] = None
+      continue
     fill = jnp.full((1,) + flat.shape[1:], fills.get(name, 0.0), flat.dtype)
     ext = jnp.concatenate([flat, fill], axis=0)  # [cap + 1, ...]
     out[name] = ext[slot].reshape(batch_shape + (s,) + flat.shape[1:])

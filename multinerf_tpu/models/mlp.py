@@ -183,6 +183,31 @@ class MLP(nn.Module):
     del imageplane  # Reserved.
     import itertools
     import os
+
+    # Flatten [..., S] sample dims into ONE leading dim for the whole body:
+    # XLA lowers Dense stacks on 3-D [rays, samples, C] activations as
+    # per-ray batched GEMMs, measured 1.7x (1024-wide trunk) to 4.5x
+    # (256-wide PropMLP) off the MXU roofline on v5e; the same stacks on
+    # flat [rays*samples, C] run at roofline.  Per-ray conditioning
+    # (viewdirs, glo) is broadcast per sample up front; every output is
+    # reshaped back at the end.
+    means_in, covs_in = gaussians
+    sample_shape = means_in.shape[:-1]  # [..., S]
+    gaussians = (means_in.reshape(-1, 3),
+                 covs_in.reshape((-1,) + covs_in.shape[len(sample_shape):]))
+    n_flat = gaussians[0].shape[0]
+
+    def per_sample(a):
+      """[..., C] per-ray -> [N, C] per-sample (broadcast over S)."""
+      if a is None:
+        return None
+      return jnp.broadcast_to(
+          a[..., None, :], sample_shape + a.shape[-1:]).reshape(
+              n_flat, a.shape[-1])
+
+    viewdirs_rays = viewdirs
+    viewdirs = per_sample(viewdirs)
+    glo_vec = per_sample(glo_vec)
     kernel_init = getattr(jax.nn.initializers, self.weight_init)()
     # Explicit creation-order names (== flax's auto names): the fused path
     # below replaces two nn.Dense layers with param-compatible custom
@@ -320,25 +345,24 @@ class MLP(nn.Module):
 
         if self.use_reflections:
           # viewdirs point camera->point; reflect() wants point->camera.
-          refdirs = ref_utils.reflect(-viewdirs[..., None, :], normals_to_use)
+          refdirs = ref_utils.reflect(-viewdirs, normals_to_use)
           dir_enc = self.dir_enc_fn(refdirs, roughness)
         else:
-          dir_enc = self.dir_enc_fn(viewdirs, roughness)
+          # Encode per RAY (cheaper), then broadcast per sample.
+          dir_enc = self.dir_enc_fn(viewdirs_rays, roughness)
           dir_enc = jnp.broadcast_to(
               dir_enc[..., None, :],
-              bottleneck.shape[:-1] + (dir_enc.shape[-1],))
+              sample_shape + (dir_enc.shape[-1],)).reshape(
+                  n_flat, dir_enc.shape[-1])
         x.append(dir_enc)
 
         if self.use_n_dot_v:
           dotprod = jnp.sum(
-              normals_to_use * viewdirs[..., None, :], axis=-1, keepdims=True)
+              normals_to_use * viewdirs, axis=-1, keepdims=True)
           x.append(dotprod)
 
         if glo_vec is not None:
-          glo_b = jnp.broadcast_to(
-              glo_vec[..., None, :],
-              bottleneck.shape[:-1] + glo_vec.shape[-1:])
-          x.append(glo_b)
+          x.append(glo_vec)
 
         x = jnp.concatenate(x, axis=-1)
 
@@ -362,14 +386,17 @@ class MLP(nn.Module):
 
       rgb = rgb * (1 + 2 * self.rgb_padding) - self.rgb_padding
 
+    def unflatten(a):
+      return None if a is None else a.reshape(sample_shape + a.shape[1:])
+
     return dict(
-        density=density,
-        rgb=rgb,
-        raw_grad_density=raw_grad_density,
-        grad_pred=grad_pred,
-        normals=normals,
-        normals_pred=normals_pred,
-        roughness=roughness,
+        density=unflatten(density),
+        rgb=unflatten(rgb),
+        raw_grad_density=unflatten(raw_grad_density),
+        grad_pred=unflatten(grad_pred),
+        normals=unflatten(normals),
+        normals_pred=unflatten(normals_pred),
+        roughness=unflatten(roughness),
     )
 
 

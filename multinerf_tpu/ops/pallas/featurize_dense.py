@@ -152,10 +152,14 @@ def _make_fn(basis_bytes, basis_shape, min_deg, max_deg, use_contract,
   num_degs = max_deg - min_deg
   num_feats = 2 * num_degs * num_dims
   base = 2.0 ** min_deg
-  basis_t = jnp.asarray(base * basis.T)  # [L, 3]
-  bb_t = jnp.asarray(
+  # Keep the cached constants NUMPY: this closure outlives any single jit
+  # trace (lru_cache), and a jnp array materialized during tracing is a
+  # constant-folded tracer whose reuse in a later trace raises
+  # UnexpectedTracerError.  Each pallas_call converts them per-trace.
+  basis_t = np.asarray(base * basis.T, np.float32)  # [L, 3]
+  bb_t = np.asarray(
       (base * base) *
-      np.einsum('ik,jk->kij', basis, basis).reshape(num_dims, 9))
+      np.einsum('ik,jk->kij', basis, basis).reshape(num_dims, 9), np.float32)
 
   def _prep(means, covs):
     n = means.shape[0]

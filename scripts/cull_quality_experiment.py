@@ -52,7 +52,8 @@ BINDINGS = [
 ]
 
 
-def run(steps, capacity, eval_every, batch_size):
+def run(steps, capacity, eval_every, batch_size, loader='dummy_sphere',
+        near=2.0, far=6.0):
   """Train once; capacity=None disables culling.  Returns the PSNR curve."""
   from multinerf_tpu import configs as configs_lib
   from multinerf_tpu import ginlite
@@ -70,8 +71,8 @@ def run(steps, capacity, eval_every, batch_size):
   # loader is a pure directional light field with density everywhere and
   # nothing cullable.
   kwargs = dict(
-      dataset_loader='dummy_sphere', batch_size=batch_size,
-      data_loss_type='mse', near=2.0, far=6.0, max_steps=steps,
+      dataset_loader=loader, batch_size=batch_size,
+      data_loss_type='mse', near=near, far=far, max_steps=steps,
       render_chunk_size=8192,
       lr_init=2e-3, lr_final=2e-5, lr_delay_steps=512, lr_delay_mult=0.01)
   if capacity is not None:
@@ -146,14 +147,21 @@ def main():
   p.add_argument('--eval_every', type=int, default=500)
   p.add_argument('--capacities', type=str, default='0.5,0.33,0.25')
   p.add_argument('--out', type=str, default='docs')
+  p.add_argument('--loader', type=str, default='dummy_sphere')
+  p.add_argument('--near', type=float, default=2.0)
+  p.add_argument('--far', type=float, default=6.0)
   args = p.parse_args()
 
-  results = {'steps': args.steps, 'batch': args.batch, 'runs': {}}
-  results['runs']['full'] = run(args.steps, None, args.eval_every, args.batch)
+  results = {'steps': args.steps, 'batch': args.batch, 'loader': args.loader,
+             'runs': {}}
+  kw = dict(loader=args.loader, near=args.near, far=args.far)
+  results['runs']['full'] = run(args.steps, None, args.eval_every, args.batch,
+                                **kw)
   for cap in [float(c) for c in args.capacities.split(',') if c]:
     results['runs'][f'cull_{cap}'] = run(args.steps, cap, args.eval_every,
-                                         args.batch)
-  out = os.path.join(args.out, 'cull_quality.json')
+                                         args.batch, **kw)
+  suffix = '' if args.loader == 'dummy_sphere' else f'_{args.loader}'
+  out = os.path.join(args.out, f'cull_quality{suffix}.json')
   with open(out, 'w') as f:
     json.dump(results, f, indent=1)
   print('wrote', out)

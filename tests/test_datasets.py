@@ -189,3 +189,23 @@ def test_single_image_batching():
   batch = next(ds)
   # All rays share one camera.
   assert np.unique(np.array(batch.rays.cam_idx)).size == 1
+
+
+def test_dummy_scatter_loader_sparse_analytic_scene():
+  """The culling-validation scene: analytic GT, novel test ring, and
+  genuinely sparse coverage (most pixels see background — the scene's
+  point is that most SAMPLES land in empty space)."""
+  config = configs_lib.Config(dataset_loader='dummy_scatter', batch_size=64,
+                              near=2.0, far=6.0)
+  train = datasets.load_dataset('train', '', config)
+  test = datasets.load_dataset('test', '', config)
+  assert train.images.shape == test.images.shape
+  assert np.isfinite(train.images).all()
+  assert train.images.min() >= 0.0 and train.images.max() <= 1.0
+  # Train and test cameras differ (novel-view evaluation is meaningful).
+  assert not np.allclose(train.camtoworlds, test.camtoworlds)
+  # Sparse: some but not most pixels are foreground.
+  fg = (np.abs(train.images - 1.0).max(-1) > 1e-6).mean()
+  assert 0.05 < fg < 0.5, fg
+  batch = next(train)
+  assert np.isfinite(batch.rgb).all()

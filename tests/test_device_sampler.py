@@ -128,10 +128,52 @@ def test_scan_train_step_matches_single_steps():
   loss_threshold = 1.0
   for outer in range(8):
     start_step = 1 + outer * 8
-    state, stats, rng, loss_threshold = scan_fn(rng, state, start_step,
-                                                loss_threshold)
+    state, stats, rng, loss_threshold, _ = scan_fn(rng, state, start_step,
+                                                   loss_threshold)
     losses = np.array(stats['loss'])
     assert losses.shape == (8,)
     all_losses.extend(losses.tolist())
   assert np.isfinite(all_losses).all()
   assert np.mean(all_losses[-16:]) < 0.8 * np.mean(all_losses[:8])
+
+
+def test_scan_train_step_with_culling_protocol_in_scan():
+  """The device-side culling protocol: warmup -> refresh -> self-gated
+  culled steps, all inside one lax.scan (no host involvement).  Training
+  must stay finite/improving through the in-scan switch, the gate flag
+  must thread across windows, and the grid must populate."""
+  _tiny_model_bindings()
+  config = configs_lib.Config(
+      dataset_loader='dummy', batch_size=256, data_loss_type='mse',
+      near=0.5, far=10.0, lr_init=2e-3, lr_final=2e-4, max_steps=64,
+      lr_delay_steps=0, device_data_plane=True, steps_per_jit_call=8,
+      occupancy_culling=True, occupancy_grid_resolution=16,
+      occupancy_warmup_steps=16, occupancy_grid_refresh_every=8,
+      occupancy_capacity_frac=0.75, occupancy_threshold=1e-4)
+  mesh = mesh_lib.create_mesh()
+  dataset = datasets.load_dataset('train', '', config)
+  rng = jax.random.PRNGKey(0)
+  model, state, _, _, _ = train_lib.setup_model(config, rng, mesh=mesh,
+                                                dataset=dataset)
+  plane = device_sampler.DeviceDataPlane(dataset, config, mesh)
+  scan_fn = device_sampler.create_scan_train_step(model, config, plane,
+                                                  mesh, num_steps=8)
+  state = jax.device_put(state, mesh_lib.replicated(mesh))
+  all_losses, keep_fracs = [], []
+  loss_threshold = 1.0
+  cull_engaged = jnp.asarray(False)
+  for outer in range(8):
+    start_step = 1 + outer * 8
+    state, stats, rng, loss_threshold, cull_engaged = scan_fn(
+        rng, state, start_step, loss_threshold, cull_engaged)
+    all_losses.extend(np.array(stats['loss']).tolist())
+    keep_fracs.extend(np.array(stats['occ_keep_frac']).tolist())
+  assert np.isfinite(all_losses).all()
+  # The dummy scene has density everywhere, so once the grid populates the
+  # keep fraction approaches 1 and the gate DISENGAGES culling (the honest
+  # outcome for an un-cullable scene); before the grid warms it is 0 and
+  # culling engages after warmup.  Either way training must improve.
+  assert np.mean(all_losses[-16:]) < 0.9 * np.mean(all_losses[:8])
+  grid = np.array(state.params['occupancy']['grid'])
+  assert (grid > 0).any()
+  assert np.isfinite(keep_fracs).all()

@@ -79,12 +79,18 @@ def main(unused_argv):
   cull_engaged = False
   if config.occupancy_culling:
     if config.device_data_plane:
-      raise ValueError(
-          'occupancy_culling is not supported with device_data_plane yet.')
-    from multinerf_tpu.models import culling
-    train_pstep_cull = train_lib.create_train_step(
-        model, config, mesh, dataset=dataset, cull=True)
-    refresh_grid_fn = culling.make_refresh_fn(model, config, mesh)
+      # The scan-stepped device plane runs the whole culling protocol
+      # (step choice, grid refresh, self-gating) inside the scan body —
+      # see device_sampler.create_scan_train_step.
+      if max(1, config.steps_per_jit_call) == 1:
+        raise ValueError(
+            'occupancy_culling with device_data_plane requires '
+            'steps_per_jit_call > 1 (culling runs inside the scan).')
+    else:
+      from multinerf_tpu.models import culling
+      train_pstep_cull = train_lib.create_train_step(
+          model, config, mesh, dataset=dataset, cull=True)
+      refresh_grid_fn = culling.make_refresh_fn(model, config, mesh)
 
   device_plane = None
   scan_steps = 1
@@ -190,8 +196,8 @@ def main(unused_argv):
         if kf is not None:
           cull_engaged = float(kf) <= config.occupancy_capacity_frac
     elif scan_steps > 1:
-      state, stats, rng, loss_threshold = train_pstep_device(
-          rng, state, step0, loss_threshold)
+      state, stats, rng, loss_threshold, cull_engaged = train_pstep_device(
+          rng, state, step0, loss_threshold, cull_engaged)
     else:
       state, stats, rng = train_pstep_device(rng, state, train_frac,
                                              loss_threshold)
