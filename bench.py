@@ -165,8 +165,11 @@ def main():
   # Occupancy-culled path (models/culling.py): same model, final level
   # evaluated only on grid-occupied samples at this capacity.  Engages
   # self-gated in real training (train.py); quality evidence at this
-  # capacity: docs/cull_quality.json (dummy_sphere, held-out PSNR).
-  cull_capacity = 0.5
+  # capacity with culling fully engaged (keep_frac ~0.29, 4375/5000 culled
+  # steps, held-out PSNR within 0.15 dB of the full run):
+  # docs/cull_quality_dummy_scatter.json.  Half-occupied-grid dense scenes
+  # gate to 0.5: docs/cull_quality.json.
+  cull_capacity = 0.33
   state_c, step_c, batch_c = build(
       {'occupancy_culling': True, 'occupancy_capacity_frac': cull_capacity},
       [], cull=True)

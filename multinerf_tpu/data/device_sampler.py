@@ -176,8 +176,7 @@ def create_scan_train_step(model, config, plane: DeviceDataPlane, mesh,
                                             cull=True)
     refresh = culling.make_refresh_fn(model, config, mesh, jit=False)
 
-  def multi_step(rng, state, start_step, loss_threshold,
-                 cull_engaged=False):
+  def multi_step(rng, state, start_step, loss_threshold, cull_engaged):
     def body(carry, i):
       rng, state, loss_threshold, cull_engaged = carry
       rng, key = jax.random.split(rng)

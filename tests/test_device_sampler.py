@@ -128,8 +128,8 @@ def test_scan_train_step_matches_single_steps():
   loss_threshold = 1.0
   for outer in range(8):
     start_step = 1 + outer * 8
-    state, stats, rng, loss_threshold, _ = scan_fn(rng, state, start_step,
-                                                   loss_threshold)
+    state, stats, rng, loss_threshold, _ = scan_fn(
+        rng, state, start_step, loss_threshold, jnp.asarray(False))
     losses = np.array(stats['loss'])
     assert losses.shape == (8,)
     all_losses.extend(losses.tolist())
