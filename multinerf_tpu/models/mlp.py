@@ -71,6 +71,25 @@ class _FusedIPEDense(nn.Module):
                               interpret=self.interpret)
 
 
+class _DenseParams(nn.Module):
+  """Param-holder with nn.Dense's exact param tree, no compute.
+
+  The fully-fused density MLP (ops/pallas/density_mlp.py) consumes raw
+  weights; instantiating these under the same ``Dense_i`` names keeps
+  checkpoints interchangeable with the unfused path.
+  """
+  features: int
+  in_features: int
+  kernel_init: Any
+
+  @nn.compact
+  def __call__(self):
+    kernel = self.param('kernel', self.kernel_init,
+                        (self.in_features, self.features))
+    bias = self.param('bias', jax.nn.initializers.zeros, (self.features,))
+    return kernel, bias
+
+
 class _SplitSkipDense(nn.Module):
   """Skip-connection layer without materializing the feature concat.
 
@@ -241,9 +260,41 @@ class MLP(nn.Module):
         use_contract=self.warp_fn is coord.contract,
         kernel_init=kernel_init,
         interpret=jax.default_backend() == 'cpu')
+    # Density-only MLPs (proposal levels: rgb branch off, no normal heads,
+    # no in-trunk skip) fuse ENTIRELY — featurize + trunk + density head in
+    # one Pallas kernel; HBM traffic drops to means/covs in, density out
+    # (the flat-GEMM trunk is bandwidth-bound, ~4.5x off roofline).
+    full_density_fusion = (
+        use_fused_feat and self.disable_rgb and
+        not self.enable_pred_normals and self.net_depth <= self.skip_layer)
 
     def predict_density(means, covs):
       """Featurize Gaussians and run the density trunk."""
+      if full_density_fusion:
+        from multinerf_tpu.ops.pallas import density_mlp as dm
+        num_feats = 2 * (self.max_deg_point - self.min_deg_point) * (
+            self.pos_basis_t.shape[-1])
+        ws, bs = [], []
+        c_in = num_feats
+        for _ in range(self.net_depth):
+          w, b = _DenseParams(features=self.net_width, in_features=c_in,
+                              kernel_init=kernel_init,
+                              name=f'Dense_{next(_dense_ids)}')()
+          ws.append(w)
+          bs.append(b)
+          c_in = self.net_width
+        wd, bd = _DenseParams(features=1, in_features=self.net_width,
+                              kernel_init=kernel_init,
+                              name=f'Dense_{next(_dense_ids)}')()
+        raw_density = dm.density_mlp(
+            means, covs, ws, bs, wd, bd[0], self.pos_basis_t,
+            min_deg=self.min_deg_point, max_deg=self.max_deg_point,
+            use_contract=self.warp_fn is coord.contract,
+            interpret=fused_kw['interpret'])
+        if (density_key is not None) and (self.density_noise > 0):
+          raw_density += self.density_noise * jax.random.normal(
+              density_key, raw_density.shape)
+        return raw_density, None
       if use_fused_feat:
         # Features live only in VMEM: the first layer and every skip-point
         # layer recompute+contract them in one Pallas kernel each.
