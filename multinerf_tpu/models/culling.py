@@ -121,6 +121,35 @@ def make_refresh_fn(model, config, mesh=None, jit=True):
 import functools
 
 
+def _shear_flat(x2, b: int, s: int):
+  """[b, s] -> [n] in the diagonal-interleave order, gather-free.
+
+  out[q * b + r] = x2[r, (q + r) % s] — the same sequence a gather by
+  ``_interleave_perm(b, s)[0]`` produces, but built from s static slices
+  of a doubled transpose (per-element gathers of [n] arrays are
+  HBM-sector-bound on TPU, ~1 ms per 131k elements; these slices are
+  bandwidth-priced).  Requires b % s == 0.
+  """
+  g = b // s
+  xt = x2.T  # [s, b]
+  d = jnp.concatenate([xt, xt], axis=0).reshape(2 * s, g, s)
+  cols = [d[j:j + s, :, j] for j in range(s)]  # each [s, g]
+  return jnp.stack(cols, axis=-1).reshape(-1)  # [s, g, s(j)] -> [n]
+
+
+def _unshear_flat(y, b: int, s: int):
+  """Inverse of ``_shear_flat``: [n] interleave order -> [n] sample order.
+
+  out[r * s + jj] = y[((jj - r) % s) * b + r].  Requires b % s == 0.
+  """
+  g = b // s
+  sp = y.reshape(s, b)  # [q, r]
+  e = jnp.concatenate([sp, sp], axis=0).reshape(2 * s, g, s)
+  cols = [e[(s - j) % s:(s - j) % s + s, :, j] for j in range(s)]
+  z3 = jnp.stack(cols, axis=-1)  # [jj, t, j]
+  return z3.transpose(1, 2, 0).reshape(-1)  # [(t, j) = r, jj] -> [n]
+
+
 @functools.lru_cache(maxsize=8)
 def _interleave_perm(b: int, s: int):
   """Static diagonal-interleave permutation (and inverse) for [b, s] flat.
@@ -137,6 +166,35 @@ def _interleave_perm(b: int, s: int):
   return perm, inv_perm
 
 
+@jax.custom_vjp
+def _gather_rows(ext, slot, inv):
+  """ext[slot] with a gather-based VJP.
+
+  The compaction's slot map is injective below the trash slot and ``inv``
+  is its exact inverse (every slot < cap has exactly one writer — kept
+  samples first, refill after), so the cotangent of ``ext`` rows 0..cap-1
+  is simply ``g[inv]`` — a [cap]-row gather instead of the [n]-element
+  scatter-add autodiff would emit (measured 1.3 ms at the flagship batch).
+  Row cap is the constant fill row; its cotangent is discarded.
+  """
+  return ext[slot]
+
+
+def _gather_rows_fwd(ext, slot, inv):
+  return ext[slot], (slot, inv)
+
+
+def _gather_rows_bwd(res, g):
+  slot, inv = res
+  d_rows = g[inv]  # [cap, ...]
+  d_ext = jnp.concatenate(
+      [d_rows, jnp.zeros_like(d_rows[:1])], axis=0)
+  return d_ext, None, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def _round_capacity(n: int, frac: float) -> int:
   """Static compact-buffer size: a multiple of 256, in [256, n]."""
   c = int(n * frac)
@@ -146,7 +204,7 @@ def _round_capacity(n: int, frac: float) -> int:
 
 def apply_culled(mlp, key, gaussians, keep, capacity_frac: float,
                  viewdirs=None, imageplane=None, glo_vec=None,
-                 exposure=None) -> Dict[str, Any]:
+                 exposure=None, cells=None) -> Dict[str, Any]:
   """Run `mlp` on the kept samples only, compacted to a static capacity.
 
   Args:
@@ -161,6 +219,12 @@ def apply_culled(mlp, key, gaussians, keep, capacity_frac: float,
       the capacity.
     viewdirs/imageplane/glo_vec/exposure: per-RAY conditioning ([B, ...]),
       gathered per compacted sample.
+    cells: optional [B, S] int32 occupancy-cell ids.  When given, the
+      output carries COMPACT grid-update feedback ('occ_cells' /
+      'occ_density' over the [capacity] evaluated samples only) — the
+      culled samples' zero densities contribute nothing to the EMA-max
+      update, so scattering them is pure overhead (~0.6 ms at the
+      flagship batch).
 
   Returns:
     ray_results dict with every field scattered back to [B, S, ...]; culled
@@ -195,10 +259,14 @@ def apply_culled(mlp, key, gaussians, keep, capacity_frac: float,
   # trailing rays (which would zero whole pixels each step and wreck
   # training), and never systematically the far samples.
   # The permutation (and its inverse) are pure functions of the static
-  # shape, so they are host-side constants: applying or undoing it is a
-  # constant-index gather, never a dynamic scatter.
+  # shape: slice-built shears when b % s == 0 (the production regime),
+  # constant-index gathers otherwise.
   perm, inv_perm = _interleave_perm(b, s)
-  keep_p = keep_flat[perm]
+  shearable = b % s == 0
+  if shearable:
+    keep_p = _shear_flat(keep, b, s)
+  else:
+    keep_p = keep_flat[perm]
   pos = jnp.cumsum(keep_p) - 1
   kept_p = keep_p & (pos < cap)
   # Spare-capacity refill: slots the kept samples don't use evaluate
@@ -212,7 +280,7 @@ def apply_culled(mlp, key, gaussians, keep, capacity_frac: float,
   slot_p = jnp.where(
       kept_p, pos, jnp.where(fill_p, pos_fill, cap)).astype(jnp.int32)
   # Back to sample order: slot[perm[i]] = slot_p[i]  ==  slot_p[inv_perm].
-  slot = slot_p[inv_perm]
+  slot = _unshear_flat(slot_p, b, s) if shearable else slot_p[inv_perm]
 
   # Inverse map: slot -> flat sample index.
   inv = jnp.zeros((cap + 1,), jnp.int32).at[slot_p].set(
@@ -265,7 +333,8 @@ def apply_culled(mlp, key, gaussians, keep, capacity_frac: float,
     fill_row = jnp.concatenate(
         [jnp.full((1, f.shape[-1]), fills.get(nm, 0.0), jnp.float32)
          for nm, f, _ in packable], axis=-1)
-    gathered = jnp.concatenate([cols, fill_row], axis=0)[slot]
+    gathered = _gather_rows(
+        jnp.concatenate([cols, fill_row], axis=0), slot, inv)
     ofs = 0
     for name, f, shape in packable:
       w = f.shape[-1]
@@ -278,6 +347,11 @@ def apply_culled(mlp, key, gaussians, keep, capacity_frac: float,
       continue
     fill = jnp.full((1,) + flat.shape[1:], fills.get(name, 0.0), flat.dtype)
     ext = jnp.concatenate([flat, fill], axis=0)  # [cap + 1, ...]
-    out[name] = ext[slot].reshape(batch_shape + (s,) + flat.shape[1:])
+    out[name] = _gather_rows(ext, slot, inv).reshape(
+        batch_shape + (s,) + flat.shape[1:])
   out['occ_keep_frac'] = jnp.mean(keep_flat.astype(jnp.float32))
+  if cells is not None:
+    out['occ_cells'] = cells.reshape(n)[inv]
+    out['occ_density'] = jax.lax.stop_gradient(
+        results['density'].reshape(cap))
   return out

@@ -207,7 +207,8 @@ class Model(nn.Module):
         # Empty-space culling: only samples whose occupancy cell clears the
         # density threshold reach the (8x1024) NerfMLP, compacted batch-wide
         # to a static-capacity buffer (models/culling.py).
-        occ = culling.lookup(occupancy_grid.value, gaussians[0], grid_res)
+        cells = culling.cell_ids(gaussians[0], grid_res)
+        occ = occupancy_grid.value[cells]
         keep = occ > self.config.occupancy_threshold
         if self.opaque_background:
           # The terminal interval's alpha is forced to 1 regardless of its
@@ -222,6 +223,10 @@ class Model(nn.Module):
             imageplane=rays.imageplane,
             glo_vec=glo_vec,
             exposure=rays.exposure_values,
+            # Compact grid feedback: only the evaluated samples' densities
+            # can exceed the EMA-max floor; scattering the zero-filled
+            # culled samples is pure overhead.
+            cells=cells if track_occupancy else None,
         )
       else:
         ray_results = mlp(
@@ -234,11 +239,13 @@ class Model(nn.Module):
         )
       if track_occupancy and not is_prop:
         # Online grid feedback for the training step (consumed by
-        # train_lib; stop-gradded scalars, no effect on the loss).
-        ray_results['occ_cells'] = culling.cell_ids(gaussians[0], grid_res)
-        ray_results['occ_density'] = jax.lax.stop_gradient(
-            ray_results['density'])
+        # train_lib; stop-gradded scalars, no effect on the loss).  The
+        # culled branch already exported the compact versions.
         if not cull:
+          ray_results['occ_cells'] = culling.cell_ids(gaussians[0],
+                                                      grid_res)
+          ray_results['occ_density'] = jax.lax.stop_gradient(
+              ray_results['density'])
           # Measured even while not culling: train.py engages the culled
           # step only once this drops below the capacity — culling a scene
           # whose occupied fraction exceeds capacity would drop live

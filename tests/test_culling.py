@@ -297,3 +297,53 @@ def test_render_with_culling_matches_render_without():
       test_case.rays, None, config, verbose=False)
   np.testing.assert_allclose(out_cull['rgb'], out_full['rgb'],
                              rtol=1e-4, atol=1e-5)
+
+
+def test_shear_helpers_match_permutation():
+  """Slice-built shear/unshear == the constant-index permutation gathers
+  for every (b, s) shape class used in production."""
+  for b, s in [(32, 8), (256, 32), (64, 64), (128, 16)]:
+    perm, inv_perm = culling._interleave_perm(b, s)
+    rng = np.random.RandomState(b + s)
+    x2 = jnp.array(rng.randn(b, s).astype(np.float32))
+    flat = x2.reshape(-1)
+    np.testing.assert_array_equal(
+        np.array(culling._shear_flat(x2, b, s)), np.array(flat[perm]))
+    y = jnp.array(rng.randn(b * s).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.array(culling._unshear_flat(y, b, s)), np.array(y[inv_perm]))
+
+
+def test_gather_rows_vjp_matches_autodiff_scatter():
+  """_gather_rows' gather-based VJP == autodiff's scatter-add VJP (slot is
+  injective below the trash slot; row cap is the constant fill row)."""
+  rng = np.random.RandomState(3)
+  b, s, cap = 16, 8, 64
+  n = b * s
+  keep = jnp.array(rng.rand(n) > 0.5).reshape(b, s)
+  # Build a real slot/inv pair through apply_culled's machinery by calling
+  # the internals directly.
+  perm, inv_perm = culling._interleave_perm(b, s)
+  keep_p = keep.reshape(-1)[perm]
+  pos = jnp.cumsum(keep_p) - 1
+  kept_p = keep_p & (pos < cap)
+  num_kept = jnp.minimum(pos[-1] + 1, cap)
+  pos_fill = num_kept + jnp.cumsum(~keep_p) - 1
+  fill_p = (~keep_p) & (pos_fill < cap)
+  slot_p = jnp.where(kept_p, pos,
+                     jnp.where(fill_p, pos_fill, cap)).astype(jnp.int32)
+  slot = slot_p[inv_perm]
+  inv = jnp.zeros((cap + 1,), jnp.int32).at[slot_p].set(
+      jnp.asarray(perm), mode='drop')[:cap]
+
+  ext0 = jnp.array(rng.randn(cap + 1, 4).astype(np.float32))
+  cot = jnp.array(rng.randn(n, 4).astype(np.float32))
+
+  g_custom = jax.vjp(lambda e: culling._gather_rows(e, slot, inv),
+                     ext0)[1](cot)[0]
+  g_auto = jax.vjp(lambda e: e[slot], ext0)[1](cot)[0]
+  # Rows < cap must agree exactly; row cap (the constant fill) is
+  # deliberately zero in the custom rule.
+  np.testing.assert_allclose(np.array(g_custom[:cap]),
+                             np.array(g_auto[:cap]), rtol=1e-6, atol=1e-6)
+  np.testing.assert_array_equal(np.array(g_custom[cap]), 0.0)
