@@ -195,24 +195,31 @@ def main():
   n_chips = jax.device_count()
   denom = ref_impl_rays_per_sec or ref_algo_rays_per_sec
   result = {
-      'metric': 'train_rays_per_sec_per_chip_360',
-      'value': round(rays_per_sec / n_chips, 1),
+      # Headline: the occupancy-culled step at the quality-validated
+      # capacity (docs/cull_quality_dummy_scatter.json: culling fully
+      # engaged, held-out PSNR within 0.15 dB of the uncull run; the
+      # self-gate in train.py disengages it automatically on scenes whose
+      # occupancy exceeds the capacity).  This is the metric VERDICT.md
+      # round 1 set for the BASELINE.md >= 3x north-star.
+      'metric': 'train_rays_per_sec_per_chip_360_culled',
+      'value': round(culled_rays_per_sec / n_chips, 1),
       'unit': 'rays/sec/chip',
       # vs_baseline: speedup over the ACTUAL reference implementation —
       # the BASELINE.md north-star denominator (train.py:185-186
       # train_rays_per_sec).  Falls back to the reference-algorithms
       # harness if the checkout is missing.
-      'vs_baseline': round(rays_per_sec / denom, 3),
-      'vs_reference_algos': round(rays_per_sec / ref_algo_rays_per_sec, 3),
-      # Occupancy-culled step (engages self-gated in training once the
-      # measured empty fraction affords the capacity).
-      'culled_rays_per_sec_per_chip': round(culled_rays_per_sec / n_chips,
-                                            1),
-      'vs_baseline_culled': round(culled_rays_per_sec / denom, 3),
+      'vs_baseline': round(culled_rays_per_sec / denom, 3),
       'cull_capacity_frac': cull_capacity,
+      # The identical-algorithm (no culling) step, same denominators.
+      'uncull_rays_per_sec_per_chip': round(rays_per_sec / n_chips, 1),
+      'vs_baseline_uncull': round(rays_per_sec / denom, 3),
+      'vs_reference_algos_uncull': round(
+          rays_per_sec / ref_algo_rays_per_sec, 3),
   }
   if ref_impl_rays_per_sec is not None:
     result['vs_reference_impl'] = round(
+        culled_rays_per_sec / ref_impl_rays_per_sec, 3)
+    result['vs_reference_impl_uncull'] = round(
         rays_per_sec / ref_impl_rays_per_sec, 3)
     result['reference_impl_rays_per_sec_per_chip'] = round(
         ref_impl_rays_per_sec / n_chips, 1)
