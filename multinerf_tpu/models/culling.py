@@ -108,6 +108,12 @@ def make_refresh_fn(model, config, mesh=None, jit=True):
     from multinerf_tpu import ginlite
     mlp = ginlite.make('NerfMLP').clone(
         disable_rgb=True, disable_density_normals=True)
+    if 'NerfMLP_0' not in variables['params']:
+      raise KeyError(
+          "Occupancy grid refresh expects the final-level MLP under "
+          "params['NerfMLP_0'] (flax auto-naming of Model's first NerfMLP); "
+          f"found {sorted(variables['params'])}. If Model renamed its MLPs, "
+          'update culling.make_refresh_fn to match.')
     density = mlp.apply(
         {'params': variables['params']['NerfMLP_0']},
         None, (means[:, None, :], covs[:, None, :, :]))['density'][:, 0]

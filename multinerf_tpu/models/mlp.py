@@ -162,6 +162,13 @@ class MLP(nn.Module):
   # disabled, contract-or-no warp); False = force XLA path; True = force on
   # (interpreted when running on CPU — used by tests).
   use_fused_featurize: Any = None
+  # Whether the sample Gaussians fed to this MLP sit behind a stop_gradient
+  # (Model sets this False when Model.stop_level_grad=False).  The fused
+  # Pallas kernels return zero cotangents for means/covs, which is only
+  # correct when no gradient is supposed to flow through them — e.g. the
+  # cross-level path density -> sample positions -> previous level's MLP
+  # that exists when stop_level_grad=False.
+  inputs_have_stop_gradient: bool = True
 
   def setup(self):
     if self.use_reflections and not (self.enable_pred_normals or
@@ -247,6 +254,7 @@ class MLP(nn.Module):
     use_fused_feat = self.use_fused_featurize
     fused_eligible = (
         self.disable_density_normals and
+        self.inputs_have_stop_gradient and
         self.warp_fn in (None, coord.contract) and
         not reference_algos and
         (self.net_depth <= 1 or (self.net_depth - 1) % self.skip_layer != 0))

@@ -58,9 +58,6 @@ class Model(nn.Module):
   single_mlp: bool = False  # Use NerfMLP for proposal levels too.
   resample_padding: float = 0.0  # Histogram padding during resampling.
   use_gpu_resampling: bool = False  # Gather-based resampling (GPU-fast).
-  # Experimental fused Pallas resampling kernel (equivalence-tested against
-  # the jnp path; currently performance-neutral in-context, so opt-in).
-  use_fused_resampling: Optional[bool] = False
   opaque_background: bool = False  # Treat background as opaque.
 
   @nn.compact
@@ -86,7 +83,17 @@ class Model(nn.Module):
     # NOTE: construction order matters if weights are being regularized by
     # module name.
     nerf_mlp = ginlite.make('NerfMLP')
+    if not self.stop_level_grad:
+      # Without the per-level stop_gradient, gradients legitimately flow
+      # from each level's density back through the sample positions into
+      # the previous level's MLP.  The fused Pallas kernels cut exactly
+      # that path (they return zero cotangents for means/covs), so tell
+      # the MLPs their inputs are NOT stop-gradded; their fused-eligibility
+      # check then falls back to the XLA path.
+      nerf_mlp = nerf_mlp.clone(inputs_have_stop_gradient=False)
     prop_mlp = nerf_mlp if self.single_mlp else ginlite.make('PropMLP')
+    if not self.single_mlp and not self.stop_level_grad:
+      prop_mlp = prop_mlp.clone(inputs_have_stop_gradient=False)
 
     track_occupancy = (self.config is not None and
                        getattr(self.config, 'occupancy_culling', False))
@@ -166,26 +173,11 @@ class Model(nn.Module):
           anneal * jnp.log(weights + self.resample_padding), -jnp.inf)
 
       key, rng = random_split(rng)
-      # The Pallas resampling kernel currently matches (not beats) XLA on
-      # this chain in-context, so it stays opt-in.
-      use_fused = bool(self.use_fused_resampling)
-      # The kernel needs a static domain; near annealing makes it traced.
-      # It also cuts gradients at its inputs (no autodiff rule), which is
-      # only correct under stop_level_grad.
-      if self.near_anneal_rate is not None or not self.stop_level_grad:
-        use_fused = False
-      if use_fused and not self.use_gpu_resampling:
-        from multinerf_tpu.ops.pallas import resample as pallas_resample
-        sdist = pallas_resample.sample_intervals_fused(
-            key, sdist, logits_resample, num_samples,
-            single_jitter=self.single_jitter,
-            domain=(init_s_near, init_s_far))
-      else:
-        sdist = stepfun.sample_intervals(
-            key, sdist, logits_resample, num_samples,
-            single_jitter=self.single_jitter,
-            domain=(init_s_near, init_s_far),
-            use_gpu_resampling=self.use_gpu_resampling)
+      sdist = stepfun.sample_intervals(
+          key, sdist, logits_resample, num_samples,
+          single_jitter=self.single_jitter,
+          domain=(init_s_near, init_s_far),
+          use_gpu_resampling=self.use_gpu_resampling)
 
       # Gradients through sampling destabilize optimization.
       if self.stop_level_grad:

@@ -11,7 +11,7 @@ Functional parity targets (semantics, not code) in the reference:
 * ``interp_sorted`` is the TPU-friendly inverse-CDF interpolation
   (math.py:108-127): instead of gathers it brute-forces interval location via
   masked reductions, which XLA maps onto the VPU far better than scatter/
-  gather.  A fused Pallas version lives in ``ops/pallas/resample.py``.
+  gather.
 """
 
 from __future__ import annotations

@@ -12,9 +12,7 @@ conventions (stepfun.py:15-23):
 * ``p``: bin densities integrating to <= 1.
 
 All interval lookups are gather-free (brute-force masked reductions), which
-is the TPU-fast formulation (cf. stepfun.py:30-53 / math.py:108-127); a fused
-Pallas resampling kernel lives in ``ops/pallas/resample.py`` and is verified
-against ``sample_intervals`` here.
+is the TPU-fast formulation (cf. stepfun.py:30-53 / math.py:108-127).
 """
 
 from __future__ import annotations

@@ -226,6 +226,15 @@ def create_optimizer(config, variables) -> Tuple[TrainState, Callable]:
       lr_delay_steps=config.lr_delay_steps,
       lr_delay_mult=config.lr_delay_mult)
   tx = optax.adam(learning_rate=lr_fn, **adam_kwargs)
+  if set(variables) != {'params'}:
+    # Non-'params' collections (the occupancy grid) are not optimized:
+    # masking them out keeps Adam from allocating mu/nu for resolution^3
+    # grid cells and from running apply_gradients over them (their zero
+    # cotangents pass through as zero updates; train_lib overwrites the
+    # grid with its own EMA-max update each step).
+    mask = {k: jax.tree_util.tree_map(lambda _: k == 'params', v)
+            for k, v in variables.items()}
+    tx = optax.masked(tx, mask)
   return TrainState.create(apply_fn=None, params=variables, tx=tx), lr_fn
 
 
