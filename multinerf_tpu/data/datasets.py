@@ -339,137 +339,178 @@ class Blender(Dataset):
 
 
 class LLFF(Dataset):
-  """Real captures with COLMAP poses (mip-NeRF 360 / LLFF layouts)."""
+  """Real captures with COLMAP poses (mip-NeRF 360 / LLFF layouts).
 
-  def _load_renderings(self, config):
-    # Raw training runs at full resolution (Bayer mosaic), otherwise use the
-    # pre-downsampled image directory.
-    image_dir_suffix = ''
-    if config.factor > 0 and not (config.rawnerf_mode and
-                                  self.split == types.DataSplit.TRAIN):
-      image_dir_suffix = f'_{config.factor}'
-      factor = config.factor
+  Loading runs as four named stages — pose recovery, pixel decode, world
+  normalization (+ render path), split selection — each a helper below.
+  The on-disk layout and split conventions are a behavior contract with the
+  reference loader (internal/datasets.py:563-718 of google-research/
+  multinerf), pinned by tests/test_datasets.py.
+  """
+
+  def _downsampling_factor(self, config):
+    """Which image pyramid level to read.
+
+    Raw training always reads level 0: downsampling would destroy the Bayer
+    mosaic phase.  Everything else honors ``config.factor`` by reading the
+    pre-downsampled ``images_{factor}`` directory.
+    """
+    raw_train = (config.rawnerf_mode and
+                 self.split == types.DataSplit.TRAIN)
+    if config.factor > 0 and not raw_train:
+      return config.factor
+    return 1
+
+  def _recover_poses(self, config, factor):
+    """Stage 1: per-image camera poses + shared intrinsics from disk.
+
+    COLMAP output (``sparse/0``) when present, otherwise an NGP/Blender
+    ``transforms.json``.  Sets intrinsics-related state; returns the image
+    name list and the [N, 3, 4] camera-to-world stack (COLMAP world frame).
+    """
+    sfm_dir = os.path.join(self.data_dir, 'sparse/0/')
+    if os.path.exists(sfm_dir):
+      names, poses, pixtocam, distortion, camtype = colmap.process_scene(
+          sfm_dir)
     else:
-      factor = 1
+      names, poses, pixtocam, distortion, camtype = load_blender_posedata(
+          self.data_dir)
 
-    colmap_dir = os.path.join(self.data_dir, 'sparse/0/')
-    if os.path.exists(colmap_dir):
-      pose_data = colmap.process_scene(colmap_dir)
-    else:
-      pose_data = load_blender_posedata(self.data_dir)
-    image_names, poses, pixtocam, distortion_params, camtype = pose_data
-
-    # Published NeRF metrics use alphabetically-sorted images for the
-    # held-out split; preserve that convention.
     if config.load_alphabetical:
-      inds = np.argsort(image_names)
-      image_names = [image_names[i] for i in inds]
-      poses = poses[inds]
+      # Published NeRF metrics hold out every Nth image of the
+      # *alphabetical* order; keep that convention for comparability.
+      order = np.argsort(names)
+      names = [names[i] for i in order]
+      poses = poses[order]
 
-    pixtocam = pixtocam @ np.diag([factor, factor, 1.0])
-    self.pixtocams = pixtocam.astype(np.float32)
+    # Fold the pyramid level into the inverse intrinsics (pixel coordinates
+    # scale by `factor`, so pixtocam's pixel columns do too).
+    self.pixtocams = (pixtocam @ np.diag([factor, factor, 1.0])).astype(
+        np.float32)
     self.focal = 1.0 / self.pixtocams[0, 0]
-    self.distortion_params = distortion_params
+    self.distortion_params = distortion
     self.camtype = camtype
+    return names, poses
 
-    raw_testscene = False
+  def _decode_pixels(self, config, image_names, factor):
+    """Stage 2: image tensors (plus exposure metadata) for `image_names`.
+
+    Returns (images, raw_testscene).  The raw branch delegates to the
+    RawNeRF pipeline; the sRGB branch decodes the pyramid directory with a
+    thread pool (PIL decode releases the GIL, so this scales with cores on
+    the big 360 captures) and pulls shutter*ISO exposures from the original
+    JPEGs' EXIF when present.
+    """
     if config.rawnerf_mode:
       from multinerf_tpu.data import raw as raw_lib
-      images, metadata, raw_testscene = raw_lib.load_raw_dataset(
+      images, self.metadata, raw_testscene = raw_lib.load_raw_dataset(
           self.split, self.data_dir, image_names,
           config.exposure_percentile, factor)
-      self.metadata = metadata
-    else:
-      colmap_image_dir = os.path.join(self.data_dir, 'images')
-      image_dir = os.path.join(self.data_dir, 'images' + image_dir_suffix)
-      for d in [image_dir, colmap_image_dir]:
-        if not os.path.exists(d):
-          raise ValueError(f'Image folder {d} does not exist.')
-      # Downsampled image names may differ from the COLMAP inputs; map
-      # between the two sorted lists.
-      colmap_files = sorted(os.listdir(colmap_image_dir))
-      image_files = sorted(os.listdir(image_dir))
-      colmap_to_image = dict(zip(colmap_files, image_files))
-      image_paths = [os.path.join(image_dir, colmap_to_image[f])
-                     for f in image_names]
-      # PNG/JPEG decode releases the GIL; threads cut scene load time by
-      # roughly the core count on the big 360 captures.
-      import concurrent.futures
-      with concurrent.futures.ThreadPoolExecutor() as pool:
-        images = np.stack(list(pool.map(io_lib.load_img, image_paths)),
-                          axis=0)
-      images = images / 255.0
+      return images, raw_testscene
 
-      # EXIF (exposure) data lives in the original JPEGs.
-      jpeg_paths = [os.path.join(colmap_image_dir, f) for f in image_names]
-      exifs = [io_lib.load_exif(x) for x in jpeg_paths]
-      self.exifs = exifs
-      if 'ExposureTime' in exifs[0] and 'ISOSpeedRatings' in exifs[0]:
-        gather = lambda k: np.array([float(x[k]) for x in exifs])
-        self.exposures = gather('ExposureTime') * gather(
-            'ISOSpeedRatings') / 1000.0
+    originals_dir = os.path.join(self.data_dir, 'images')
+    level_dir = originals_dir if factor == 1 else (
+        os.path.join(self.data_dir, f'images_{factor}'))
+    for d in (level_dir, originals_dir):
+      if not os.path.exists(d):
+        raise ValueError(f'Image folder {d} does not exist.')
+    # The pyramid level may use different file names (e.g. .JPG -> .png
+    # after mogrify); COLMAP names index the ORIGINALS, so translate
+    # through the two directories' shared sorted order.
+    renamed = dict(zip(sorted(os.listdir(originals_dir)),
+                       sorted(os.listdir(level_dir))))
+    import concurrent.futures
+    with concurrent.futures.ThreadPoolExecutor() as pool:
+      decoded = pool.map(
+          lambda name: io_lib.load_img(
+              os.path.join(level_dir, renamed[name])), image_names)
+      images = np.stack(list(decoded), axis=0) / 255.0
 
-    posefile = os.path.join(self.data_dir, 'poses_bounds.npy')
-    if os.path.exists(posefile):
-      with open(posefile, 'rb') as fp:
-        poses_arr = np.load(fp)
-      bounds = poses_arr[:, -2:]
-    else:
-      bounds = np.array([0.01, 1.0])
-    self.colmap_to_world_transform = np.eye(4)
+    # Exposure metadata only exists in the original captures' EXIF.
+    self.exifs = [io_lib.load_exif(os.path.join(originals_dir, name))
+                  for name in image_names]
+    if all(k in self.exifs[0] for k in ('ExposureTime', 'ISOSpeedRatings')):
+      shutter_iso = np.array(
+          [float(x['ExposureTime']) * float(x['ISOSpeedRatings'])
+           for x in self.exifs])
+      self.exposures = shutter_iso / 1000.0
+    return images, False
+
+  def _normalize_world(self, config, poses):
+    """Stage 3: COLMAP frame -> rendering world frame, plus a render path.
+
+    Forward-facing captures rescale by the near bound, recenter, and use
+    NDC + a spiral path; unbounded captures PCA-align gravity and use an
+    ellipse (or keyframe-spline) path.  Sets
+    ``colmap_to_world_transform`` / ``render_poses``; returns the
+    transformed poses.
+    """
+    bounds = np.array([0.01, 1.0])
+    bounds_file = os.path.join(self.data_dir, 'poses_bounds.npy')
+    if os.path.exists(bounds_file):
+      with open(bounds_file, 'rb') as fp:
+        bounds = np.load(fp)[:, -2:]
 
     if config.forward_facing:
-      # NDC parameterization for forward-facing captures.
       self.pixtocam_ndc = self.pixtocams.reshape(-1, 3, 3)[0]
+      # Rescale so the nearest scene content sits at ~0.75 depth units.
       scale = 1.0 / (bounds.min() * 0.75)
+      poses = poses.copy()
       poses[:, :3, 3] *= scale
-      self.colmap_to_world_transform = np.diag([scale] * 3 + [1])
-      bounds *= scale
-      poses, transform = camera_lib.recenter_poses(poses)
-      self.colmap_to_world_transform = (
-          transform @ self.colmap_to_world_transform)
+      poses, recenter = camera_lib.recenter_poses(poses)
+      self.colmap_to_world_transform = recenter @ np.diag([scale] * 3 + [1])
       self.render_poses = camera_lib.generate_spiral_path(
-          poses, bounds, n_frames=config.render_path_frames)
+          poses, bounds * scale, n_frames=config.render_path_frames)
+      return poses
+
+    poses, self.colmap_to_world_transform = camera_lib.transform_poses_pca(
+        poses)
+    if config.render_spline_keyframes is not None:
+      (self.spline_indices, self.render_poses,
+       self.render_exposures) = camera_lib.create_render_spline_path(
+           config, self._image_names, poses, self.exposures)
     else:
-      poses, transform = camera_lib.transform_poses_pca(poses)
-      self.colmap_to_world_transform = transform
-      if config.render_spline_keyframes is not None:
-        rets = camera_lib.create_render_spline_path(config, image_names,
-                                                    poses, self.exposures)
-        self.spline_indices, self.render_poses, self.render_exposures = rets
-      else:
-        self.render_poses = camera_lib.generate_ellipse_path(
-            poses,
-            n_frames=config.render_path_frames,
-            z_variation=config.z_variation,
-            z_phase=config.z_phase)
+      self.render_poses = camera_lib.generate_ellipse_path(
+          poses,
+          n_frames=config.render_path_frames,
+          z_variation=config.z_variation,
+          z_phase=config.z_phase)
+    return poses
+
+  def _split_indices(self, config, num_images, raw_testscene):
+    """Stage 4: which image indices this split trains/evaluates on."""
+    everything = np.arange(num_images)
+    held_out = everything % config.llffhold == 0
+    if self.split == types.DataSplit.TEST:
+      return everything[held_out]
+    if config.llff_use_all_images_for_training or raw_testscene:
+      # HDR+ test scenes train on every bracketed shot (the ground-truth
+      # view is carved out by pose, not by index).
+      return everything
+    return everything[~held_out]
+
+  def _load_renderings(self, config):
+    factor = self._downsampling_factor(config)
+    image_names, poses = self._recover_poses(config, factor)
+    self._image_names = image_names
+    images, raw_testscene = self._decode_pixels(config, image_names, factor)
+    poses = self._normalize_world(config, poses)
 
     if raw_testscene:
-      # First COLMAP image shares the ground-truth test pose; the rest train.
-      poses = {
-          types.DataSplit.TEST: poses[:1],
-          types.DataSplit.TRAIN: poses[1:],
-      }[self.split]
-
+      # First COLMAP image shares the ground-truth test pose; the rest
+      # train.
+      poses = (poses[:1] if self.split == types.DataSplit.TEST
+               else poses[1:])
     self.poses = poses
 
-    all_indices = np.arange(images.shape[0])
-    if config.llff_use_all_images_for_training or raw_testscene:
-      train_indices = all_indices
-    else:
-      train_indices = all_indices % config.llffhold != 0
-    split_indices = {
-        types.DataSplit.TEST: all_indices[all_indices % config.llffhold == 0],
-        types.DataSplit.TRAIN: train_indices,
-    }
-    indices = split_indices[self.split]
-    images = images[indices]
-    poses = poses[indices]
+    keep = self._split_indices(config, images.shape[0], raw_testscene)
+    images = images[keep]
+    poses = poses[keep]
     if self.exposures is not None:
-      self.exposures = self.exposures[indices]
+      self.exposures = self.exposures[keep]
     if config.rawnerf_mode:
       for key in ['exposure_idx', 'exposure_values']:
-        self.metadata[key] = self.metadata[key][indices]
+        self.metadata[key] = self.metadata[key][keep]
 
     self.images = images
     self.camtoworlds = self.render_poses if config.render_path else poses

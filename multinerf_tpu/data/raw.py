@@ -69,50 +69,53 @@ def pixels_to_bayer_mask(pix_x: _Array, pix_y: _Array,
   return xnp.stack([r, g, b], -1).astype(xnp.float32)
 
 
+# Demosaic interpolation stencils, as (dy, dx) -> weight taps over a
+# full-resolution plane that holds one channel's samples (zeros elsewhere).
+#
+# * Red/blue live on a 2x2 subgrid, so bilinear interpolation is the tent
+#   filter: exact at sample sites, the 2-neighbor mean on half-step rows or
+#   columns, the 4-corner mean at the fully offset phase.
+# * Green lives on the complementary checkerboard; every missing pixel has
+#   all four axis-neighbors observed, so one 4-cross mean fills it (the
+#   center tap passes observed greens through untouched, since their
+#   axis-neighbors are zeros in the plane).
+_TENT_TAPS = tuple(
+    ((dy, dx), 1.0 / (1 << (abs(dy) + abs(dx))))
+    for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+_CROSS_TAPS = (((0, 0), 1.0),
+               ((-1, 0), 0.25), ((1, 0), 0.25), ((0, -1), 0.25), ((0, 1), 0.25))
+
+
 def bilinear_demosaic(bayer: _Array, xnp: types.ModuleType) -> _Array:
   """Bilinearly demosaic an RGGB Bayer mosaic into a full RGB image.
 
-  Red/blue are 2x bilinearly upsampled; missing greens average their 4-cross
-  neighborhood.  Edge wrap-around from the rolls only affects the garbage
-  border rows of real sensor data.
+  Formulated as three scatter+filter passes at full resolution: each
+  channel's samples stay in place in a zero-filled full-res plane and one
+  fixed shift-stencil (tent for R/B, 4-cross for G) fills the missing
+  phases — a uniform, trivially-parallel stencil per channel.  Shifts are
+  circular, so edge wrap-around only touches the garbage border rows of
+  real sensor data.  Behavior contract (values incl. wrap): the reference's
+  demosaicker, internal/raw_utils.py:80-146 — pinned by the oracle test in
+  tests/test_raw.py.
 
   Args:
     bayer: [H, W] mosaic (R at (0,0), G at (0,1)/(1,0), B at (1,1)).
     xnp: numpy or jax.numpy (jit the jnp version; it is all shifts+adds).
   """
-  def reshape_quads(*planes):
-    """Tile four half-res planes into interleaved 2x2 quads."""
-    planes = xnp.stack(planes, -1)
-    shape = planes.shape[:-1]
-    zup = planes.reshape(shape + (2, 2))
-    zup = xnp.transpose(zup, (0, 2, 1, 3))
-    return zup.reshape((shape[0] * 2, shape[1] * 2))
+  on = xnp.ones((), dtype=bayer.dtype)
+  even_row = (xnp.arange(bayer.shape[0]) % 2 == 0)[:, None] * on
+  even_col = (xnp.arange(bayer.shape[1]) % 2 == 0)[None, :] * on
 
-  def bilinear_upsample(z):
-    zx = 0.5 * (z + xnp.roll(z, -1, axis=-1))
-    zy = 0.5 * (z + xnp.roll(z, -1, axis=-2))
-    zxy = 0.5 * (zx + xnp.roll(zx, -1, axis=-2))
-    return reshape_quads(z, zx, zy, zxy)
+  def filled(phase_mask, taps):
+    plane = bayer * phase_mask
+    return sum(w * xnp.roll(plane, (dy, dx), axis=(0, 1))
+               for (dy, dx), w in taps)
 
-  def upsample_green(g1, g2):
-    z = xnp.zeros_like(g1)
-    z = reshape_quads(z, g1, g2, z)
-    alt = 0
-    for i in range(4):
-      axis = -1 - (i // 2)
-      roll = -1 + 2 * (i % 2)
-      alt = alt + 0.25 * xnp.roll(z, roll, axis=axis)
-    # Observed pixels have alt == 0, unobserved have z == 0, so the sum
-    # fills every position.
-    return alt + z
-
-  r, g1, g2, b = [bayer[(i // 2)::2, (i % 2)::2] for i in range(4)]
-  r = bilinear_upsample(r)
-  # Blue samples sit at the bottom-right of the quad; flip so the upsample's
-  # top-left assumption holds, then flip back.
-  b = bilinear_upsample(b[::-1, ::-1])[::-1, ::-1]
-  g = upsample_green(g1, g2)
-  return xnp.stack([r, g, b], -1)
+  return xnp.stack([
+      filled(even_row * even_col, _TENT_TAPS),
+      filled(even_row + even_col - 2 * even_row * even_col, _CROSS_TAPS),
+      filled((1 - even_row) * (1 - even_col), _TENT_TAPS),
+  ], -1)
 
 
 bilinear_demosaic_jax = jax.jit(

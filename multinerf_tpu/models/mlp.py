@@ -157,6 +157,13 @@ class MLP(nn.Module):
   warp_fn: Callable[..., Any] = None  # Coordinate warp (e.g. contract).
   basis_shape: str = 'icosahedron'  # Basis polyhedron: octahedron/icosahedron.
   basis_subdivisions: int = 2  # Basis tesselation count.
+  # Computation dtype for the trunk and view-branch hidden layers
+  # ('float32' or 'bfloat16').  On TPU the matmuls already run bf16-in/
+  # f32-accumulate at XLA's default precision either way; 'bfloat16'
+  # additionally stores the hidden activations (and their cotangents) in
+  # bf16, halving the HBM traffic of the wide trunk.  Heads (density, rgb,
+  # normals, bottleneck) always compute/store f32.
+  trunk_dtype: str = 'float32'
   # Fused featurize->first-matmul Pallas kernel (ops/pallas/featurize_dense):
   # None = auto (on for TPU in every eligible config: density normals
   # disabled, contract-or-no warp); False = force XLA path; True = force on
@@ -242,6 +249,12 @@ class MLP(nn.Module):
     _dense_ids = itertools.count()
     dense = lambda features: nn.Dense(
         features, kernel_init=kernel_init, name=f'Dense_{next(_dense_ids)}')
+    # Hidden trunk/view-branch layers honor trunk_dtype; param storage (and
+    # therefore checkpoints and the optimizer) stays f32 in either mode.
+    hidden_dtype = jnp.dtype(self.trunk_dtype)
+    dense_hidden = lambda features: nn.Dense(
+        features, kernel_init=kernel_init, dtype=hidden_dtype,
+        name=f'Dense_{next(_dense_ids)}')
 
     density_key, rng = random_split(rng)
 
@@ -316,7 +329,7 @@ class MLP(nn.Module):
                                 name=f'Dense_{next(_dense_ids)}',
                                 **fused_kw)(x, means, covs)
           else:
-            x = dense(self.net_width)(x)
+            x = dense_hidden(self.net_width)(x)
           x = self.net_activation(x)
       else:
         if self.warp_fn is not None:
@@ -339,7 +352,7 @@ class MLP(nn.Module):
         x = feats
         inputs = feats
         for i in range(self.net_depth):
-          x = dense(self.net_width)(x)
+          x = dense_hidden(self.net_width)(x)
           x = self.net_activation(x)
           if i % self.skip_layer == 0 and i > 0:
             x = jnp.concatenate([x, inputs], axis=-1)
@@ -427,7 +440,7 @@ class MLP(nn.Module):
 
         inputs = x
         for i in range(self.net_depth_viewdirs):
-          x = dense(self.net_width_viewdirs)(x)
+          x = dense_hidden(self.net_width_viewdirs)(x)
           x = self.net_activation(x)
           if i % self.skip_layer_dir == 0 and i > 0:
             x = jnp.concatenate([x, inputs], axis=-1)
