@@ -105,6 +105,12 @@ class Config:
   occupancy_grid_decay: float = 0.97  # EMA-max decay per update.
   occupancy_threshold: float = 5e-3  # Density below this = empty cell.
   occupancy_capacity_frac: float = 0.5  # Compact buffer / full batch size.
+  # Optional capacity LADDER: compile one culled step per capacity and let
+  # the self-gate pick the smallest capacity that fits the measured keep
+  # fraction each refresh (falling back to uncull above the top rung), so
+  # denser scenes still cull at a coarser rate instead of dropping to the
+  # full step.  None = single-capacity gate at occupancy_capacity_frac.
+  occupancy_capacity_ladder: Optional[Tuple[float, ...]] = None
   occupancy_warmup_steps: int = 512  # Cull-free steps while the grid warms.
   occupancy_grid_refresh_every: int = 256  # Steps between MLP grid probes.
   data_loss_type: str = 'charb'  # mse | charb | rawnerf | robustnerf.

@@ -46,6 +46,7 @@ def load_dataset(split, train_dir, config):
       'dummy': Dummy,
       'dummy_sphere': DummySphere,
       'dummy_scatter': DummyScatter,
+      'dummy_unbounded': DummyUnbounded,
   }
   return dataset_dict[config.dataset_loader](split, train_dir, config)
 
@@ -891,7 +892,8 @@ class DummyScatter(Dataset):
       phase = (2 * np.pi / len(self.CENTERS)) * nearest
       texture = 0.5 + 0.5 * np.sin(4.0 * p + phase[..., None])
       images.append(
-          np.where(hit[..., None], texture, 1.0).astype(np.float32))
+          np.where(hit[..., None], texture,
+                   self._miss_color(origins, viewdirs)).astype(np.float32))
       disps.append(np.where(hit, 1.0 / np.maximum(t_best, 1e-3),
                             0.0).astype(np.float32))
     self.images = np.stack(images)
@@ -900,3 +902,42 @@ class DummyScatter(Dataset):
     if self._load_normals:
       self.normal_images = self.images * 0  # Placeholder shape [N,H,W,3].
       self.alphas = np.ones((n, res, res), np.float32)
+
+  def _miss_color(self, origins, viewdirs):
+    """Color for rays that miss every sphere (white; see DummyUnbounded)."""
+    del origins, viewdirs
+    return np.float32(1.0)
+
+
+class DummyUnbounded(DummyScatter):
+  """DummyScatter plus a textured far shell: a synthetic UNBOUNDED scene.
+
+  Rays that miss the foreground spheres terminate on a radius-60 textured
+  shell instead of flat white, so the model must place density far outside
+  the unit ball — the regime the scene contraction (and the contraction-
+  space occupancy grid's outer cells: radius 60 contracts to ~1.97) exists
+  for.  This is the flagship-scale culling-quality scene: foreground keeps
+  the measured keep fraction at real-scene levels while the background
+  exercises the grid across the whole contraction domain.  More views and
+  pixels than DummyScatter so flagship-width MLPs have something to fit.
+  """
+
+  NUM_IMAGES = 48
+  RESOLUTION = 64
+  SHELL_RADIUS = 60.0
+  CENTERS = np.array([
+      [1.0, 0.2, 0.1], [-0.8, 0.7, -0.3], [0.1, -1.1, 0.35],
+      [-0.35, -0.45, -0.5], [0.55, 0.95, -0.2], [1.3, -0.6, -0.15],
+      [-1.2, -0.9, 0.2], [0.0, 1.3, 0.45], [-0.2, 0.1, 0.75],
+  ], dtype=np.float32)
+
+  def _miss_color(self, origins, viewdirs):
+    # Cameras sit inside the shell, so the far (+) ray-shell root always
+    # exists; texture the hit point so the backdrop is multi-view
+    # consistent (slight parallax at shell distance).
+    b = 2 * np.sum(origins * viewdirs, -1)
+    c = np.sum(origins ** 2, -1) - self.SHELL_RADIUS ** 2
+    t = (-b + np.sqrt(np.maximum(b ** 2 - 4 * c, 0.0))) / 2
+    q = (origins + t[..., None] * viewdirs) / self.SHELL_RADIUS
+    phases = np.array([0.0, 2.1, 4.2], np.float32)
+    return (0.5 + 0.5 * np.sin(6.0 * q + phases)).astype(np.float32)

@@ -158,12 +158,13 @@ def create_scan_train_step(model, config, plane: DeviceDataPlane, mesh,
   (start_step, max_steps) pair passed at call time.
 
   With ``Config.occupancy_culling`` the whole culling protocol runs
-  device-side inside the scan: both the culled and the full step are
-  compiled, a ``lax.cond`` picks per inner step, the periodic density-grid
-  refresh runs under its own cond at the configured cadence, and
-  self-gating (engage culling only while the measured keep fraction fits
-  the capacity) updates a carried flag at refresh steps — the exact
-  protocol train.py runs host-side at scan_steps == 1.
+  device-side inside the scan: the full step and one culled step per
+  capacity-ladder rung are compiled, a ``lax.switch`` picks per inner step,
+  the periodic density-grid refresh runs under its own cond at the
+  configured cadence, and self-gating (engage the smallest rung whose
+  capacity fits the measured keep fraction, uncull above the top rung)
+  updates a carried branch index at refresh steps — the exact protocol
+  train.py runs host-side at scan_steps == 1.
   """
   from multinerf_tpu import train_lib
   from multinerf_tpu.models import culling
@@ -172,21 +173,26 @@ def create_scan_train_step(model, config, plane: DeviceDataPlane, mesh,
   base_step = train_lib.create_train_step(model, config, mesh, jit=False)
   cull = bool(config.occupancy_culling)
   if cull:
-    cull_step = train_lib.create_train_step(model, config, mesh, jit=False,
-                                            cull=True)
+    ladder = tuple(sorted(config.occupancy_capacity_ladder or
+                          (config.occupancy_capacity_frac,)))
+    step_variants = [base_step] + [
+        train_lib.create_train_step(model, config, mesh, jit=False, cull=cap)
+        for cap in ladder]
+    ladder_caps = np.asarray(ladder, np.float32)
     refresh = culling.make_refresh_fn(model, config, mesh, jit=False)
 
-  def multi_step(rng, state, start_step, loss_threshold, cull_engaged):
+  def multi_step(rng, state, start_step, loss_threshold, cull_idx):
     def body(carry, i):
-      rng, state, loss_threshold, cull_engaged = carry
+      rng, state, loss_threshold, cull_idx = carry
       rng, key = jax.random.split(rng)
       batch = plane.sample_batch(key)
       step_i = start_step + i
       train_frac = jnp.clip((step_i - 1) / (config.max_steps - 1), 0, 1)
       if cull:
-        engage = cull_engaged & (step_i > config.occupancy_warmup_steps)
-        state, stats, rng = jax.lax.cond(
-            engage, cull_step, base_step,
+        branch = jnp.where(step_i > config.occupancy_warmup_steps,
+                           cull_idx, 0)
+        state, stats, rng = jax.lax.switch(
+            branch, step_variants,
             rng, state, batch, train_frac, loss_threshold)
         at_refresh = step_i % config.occupancy_grid_refresh_every == 0
         rng, key_probe = jax.random.split(rng)
@@ -197,23 +203,26 @@ def create_scan_train_step(model, config, plane: DeviceDataPlane, mesh,
             state.params, key_probe)
         state = state.replace(
             params={**state.params, 'occupancy': {'grid': new_grid}})
-        cull_engaged = jnp.where(
-            at_refresh,
-            stats['occ_keep_frac'] <= config.occupancy_capacity_frac,
-            cull_engaged)
+        # Smallest fitting rung (ladder sorted ascending; argmax finds the
+        # first True); 0 = uncull when even the top rung is too small.
+        fits = stats['occ_keep_frac'] <= ladder_caps
+        fitted_idx = jnp.where(jnp.any(fits),
+                               1 + jnp.argmax(fits), 0).astype(jnp.int32)
+        cull_idx = jnp.where(at_refresh, fitted_idx, cull_idx)
       else:
         state, stats, rng = base_step(rng, state, batch, train_frac,
                                       loss_threshold)
       if config.enable_robustnerf_loss:
         loss_threshold = stats['loss_threshold']
-      return (rng, state, loss_threshold, cull_engaged), stats
+      return (rng, state, loss_threshold, cull_idx), stats
 
-    carry = (rng, state, loss_threshold, jnp.asarray(cull_engaged))
-    (rng, state, loss_threshold, cull_engaged), stats = jax.lax.scan(
+    carry = (rng, state, loss_threshold,
+             jnp.asarray(cull_idx, jnp.int32))
+    (rng, state, loss_threshold, cull_idx), stats = jax.lax.scan(
         body, carry, jnp.arange(num_steps))
-    # cull_engaged is threaded back to the caller so the gate persists
-    # across scan windows (a window may contain no refresh step).
-    return state, stats, rng, loss_threshold, cull_engaged
+    # cull_idx is threaded back to the caller so the gate persists across
+    # scan windows (a window may contain no refresh step).
+    return state, stats, rng, loss_threshold, cull_idx
 
   repl = mesh_lib.replicated(mesh)
   return jax.jit(multi_step,

@@ -345,9 +345,13 @@ class MLP(nn.Module):
           # Fused lift+IPE: the frequency scaling is folded into the
           # projection matrices so the featurization is two flat matmuls +
           # fused elementwise (~20% faster than the composed chain on TPU).
+          # bf16 feature storage on TPU: free under the trunk's default-
+          # precision matmuls (they round to bf16 anyway), halves traffic.
           feats = coord.integrated_pos_enc_lifted(
               means, covs, self.pos_basis_t, self.min_deg_point,
-              self.max_deg_point)
+              self.max_deg_point,
+              out_dtype=(jnp.bfloat16 if jax.default_backend() != 'cpu'
+                         else None))
 
         x = feats
         inputs = feats

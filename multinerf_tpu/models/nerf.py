@@ -75,7 +75,9 @@ class Model(nn.Module):
       cull: (static) evaluate the final level through the occupancy-grid
         compaction (models/culling.py). Requires Config.occupancy_culling
         (which allocates the grid); train.py turns this on after the
-        grid-warmup steps.
+        grid-warmup steps. A float selects that capacity fraction (the
+        gate's capacity-ladder variants); True uses
+        Config.occupancy_capacity_frac.
 
     Returns:
       (renderings, ray_history): per-level rendering dicts and raw results.
@@ -210,7 +212,8 @@ class Model(nn.Module):
         ray_results = culling.apply_culled(
             mlp, key, gaussians,
             keep=keep,
-            capacity_frac=self.config.occupancy_capacity_frac,
+            capacity_frac=(cull if isinstance(cull, float)
+                           else self.config.occupancy_capacity_frac),
             viewdirs=rays.viewdirs if self.use_viewdirs else None,
             imageplane=rays.imageplane,
             glo_vec=glo_vec,

@@ -164,7 +164,8 @@ def lift_and_diagonalize(mean, cov, basis):
   return lifted_mean, lifted_var
 
 
-def integrated_pos_enc_lifted(mean, cov, basis, min_deg, max_deg):
+def integrated_pos_enc_lifted(mean, cov, basis, min_deg, max_deg,
+                              out_dtype=None):
   """Fused lift_and_diagonalize + integrated_pos_enc (TPU fast path).
 
   Folds the per-degree frequency scaling INTO the projection matrices:
@@ -186,6 +187,12 @@ def integrated_pos_enc_lifted(mean, cov, basis, min_deg, max_deg):
     cov:  [..., 3, 3] full covariances.
     basis: [3, L] projection basis (host-side numpy or jnp).
     min_deg, max_deg: frequency band.
+    out_dtype: optional storage dtype for the returned features.  None
+      keeps f32.  Pass jnp.bfloat16 when the consumer is a default-
+      precision TPU matmul (which rounds its inputs to bf16 anyway): the
+      cast is then numerically free and halves the feature tensor's HBM
+      traffic.  The cast is the CALLER'S choice — this is a math utility
+      and stays full precision unless asked.
 
   Returns:
     [..., 2 * L * (max_deg - min_deg)] features.
@@ -194,7 +201,7 @@ def integrated_pos_enc_lifted(mean, cov, basis, min_deg, max_deg):
   if (os.environ.get('MULTINERF_IPE_RECURRENCE', '1') != '0' and
       (max_deg - min_deg) > 2):
     return _integrated_pos_enc_lifted_recurrence(mean, cov, basis, min_deg,
-                                                 max_deg)
+                                                 max_deg, out_dtype=out_dtype)
   basis = np.asarray(basis)
   degs = np.arange(min_deg, max_deg)
   scales = 2.0 ** degs
@@ -208,13 +215,14 @@ def integrated_pos_enc_lifted(mean, cov, basis, min_deg, max_deg):
   cov_flat = cov.reshape(cov.shape[:-2] + (9,))
   var = mathx.matmul_hp(cov_flat, jnp.asarray(bb_scaled, jnp.float32))
   atten = jnp.exp(-0.5 * var)
-  return jnp.concatenate(
+  feats = jnp.concatenate(
       [atten * mathx.safe_sin(args),
        atten * mathx.safe_sin(args + 0.5 * jnp.pi)], axis=-1)
+  return feats if out_dtype is None else feats.astype(out_dtype)
 
 
 def _integrated_pos_enc_lifted_recurrence(mean, cov, basis, min_deg, max_deg,
-                                          anchor_every=4):
+                                          anchor_every=4, out_dtype=None):
   """Lifted IPE with degree recurrences instead of per-degree transcendentals.
 
   The frequency octaves are exact doublings, so adjacent degrees are related
@@ -285,12 +293,12 @@ def _integrated_pos_enc_lifted_recurrence(mean, cov, basis, min_deg, max_deg,
     coss.append(e * c)
 
   feat_t = jnp.concatenate(sins + coss, axis=0)  # [2*D*L, N], deg-major.
-  if jax.default_backend() != 'cpu':
-    # bf16 storage is numerically free on TPU — the consuming matmuls round
-    # their inputs to bf16 anyway (one-pass DEFAULT precision) — and halves
-    # the HBM traffic of the transpose and of the trunk's first layer.
-    # (Kept f32 on CPU, where matmuls are true f32 and tests run.)
-    feat_t = feat_t.astype(jnp.bfloat16)
+  if out_dtype is not None:
+    # e.g. bf16 when the consumer is a default-precision TPU matmul (which
+    # rounds to bf16 anyway): numerically free there, halves the HBM
+    # traffic of the transpose and of the trunk's first layer.  Explicitly
+    # the caller's choice (see integrated_pos_enc_lifted).
+    feat_t = feat_t.astype(out_dtype)
   return feat_t.T.reshape(batch_shape + (2 * num_degs * num_dims,))
 
 

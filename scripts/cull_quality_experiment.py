@@ -33,23 +33,30 @@ _cache.enable_persistent_compilation_cache()
 
 # Flagship SAMPLING geometry (contraction, reciprocal ray distances, 2
 # proposal levels of 64 + 32 nerf samples — what the occupancy grid and the
-# compaction actually see), with debug-size MLP widths: the 8x1024 flagship
-# trunk catastrophically overfits the 12-view 32x32 dummy scene (train 30 dB
-# / held-out 7 dB), which would say nothing about culling.  Widths don't
-# change what culling does; sample placement does.
-BINDINGS = [
+# compaction actually see).  Default widths are debug-size: the 8x1024
+# flagship trunk catastrophically overfits the 12-view 32x32 dummy scenes
+# (train 30 dB / held-out 7 dB), which would say nothing about culling.
+# --flagship switches to the REAL 360.gin widths (PropMLP 4x256, NerfMLP
+# 8x1024) — pair it with the richer dummy_unbounded scene (48 views, 64^2,
+# textured far shell) where held-out PSNR is meaningful at those widths.
+BASE_BINDINGS = [
     'Model.raydist_fn = @jnp.reciprocal',
     'Model.opaque_background = True',
     'PropMLP.warp_fn = @coord.contract',
-    'PropMLP.net_depth = 2',
-    'PropMLP.net_width = 64',
     'PropMLP.disable_density_normals = True',
     'PropMLP.disable_rgb = True',
     'NerfMLP.warp_fn = @coord.contract',
-    'NerfMLP.net_depth = 4',
-    'NerfMLP.net_width = 128',
     'NerfMLP.disable_density_normals = True',
 ]
+DEBUG_WIDTHS = [
+    'PropMLP.net_depth = 2', 'PropMLP.net_width = 64',
+    'NerfMLP.net_depth = 4', 'NerfMLP.net_width = 128',
+]
+FLAGSHIP_WIDTHS = [
+    'PropMLP.net_depth = 4', 'PropMLP.net_width = 256',
+    'NerfMLP.net_depth = 8', 'NerfMLP.net_width = 1024',
+]
+BINDINGS = BASE_BINDINGS + DEBUG_WIDTHS  # Overridden by --flagship in main.
 
 
 def run(steps, capacity, eval_every, batch_size, loader='dummy_sphere',
@@ -99,6 +106,7 @@ def run(steps, capacity, eval_every, batch_size, loader='dummy_sphere',
 
   curve = []
   keep_frac = None
+  keep_trace = []  # (step, measured keep fraction) at each grid refresh.
   cull_engaged = False
   cull_steps = 0
   t0 = time.time()
@@ -119,7 +127,9 @@ def run(steps, capacity, eval_every, batch_size, loader='dummy_sphere',
       kf = stats.get('occ_keep_frac')
       if kf is not None:
         # Same self-gating rule as train.py.
-        cull_engaged = float(kf) <= config.occupancy_capacity_frac
+        kf = float(kf)
+        keep_trace.append((step, round(kf, 4)))
+        cull_engaged = kf <= config.occupancy_capacity_frac
     if step % eval_every == 0 or step == steps:
       if 'occ_keep_frac' in stats:
         keep_frac = float(stats['occ_keep_frac'])
@@ -137,6 +147,8 @@ def run(steps, capacity, eval_every, batch_size, loader='dummy_sphere',
       curve.append(entry)
       print(json.dumps({'capacity': capacity, **entry}), flush=True)
   curve[-1]['train_time_s'] = round(time.time() - t0, 1)
+  if keep_trace:
+    curve[-1]['keep_frac_trace'] = keep_trace
   return curve
 
 
@@ -150,17 +162,37 @@ def main():
   p.add_argument('--loader', type=str, default='dummy_sphere')
   p.add_argument('--near', type=float, default=2.0)
   p.add_argument('--far', type=float, default=6.0)
+  p.add_argument('--flagship', action='store_true',
+                 help='Real 360.gin widths (PropMLP 4x256, NerfMLP 8x1024).')
+  p.add_argument('--trunk_dtype', type=str, default='float32',
+                 choices=['float32', 'bfloat16'])
+  p.add_argument('--tag', type=str, default='',
+                 help='Extra output-filename tag (e.g. the trunk dtype).')
+  p.add_argument('--skip_full', action='store_true',
+                 help='Only run the culled arms (reuse a prior full run).')
   args = p.parse_args()
 
+  global BINDINGS
+  BINDINGS = BASE_BINDINGS + (
+      FLAGSHIP_WIDTHS if args.flagship else DEBUG_WIDTHS)
+  if args.trunk_dtype != 'float32':
+    BINDINGS = BINDINGS + [
+        f'NerfMLP.trunk_dtype = "{args.trunk_dtype}"',
+        f'PropMLP.trunk_dtype = "{args.trunk_dtype}"']
+
   results = {'steps': args.steps, 'batch': args.batch, 'loader': args.loader,
+             'flagship': args.flagship, 'trunk_dtype': args.trunk_dtype,
              'runs': {}}
   kw = dict(loader=args.loader, near=args.near, far=args.far)
-  results['runs']['full'] = run(args.steps, None, args.eval_every, args.batch,
-                                **kw)
+  if not args.skip_full:
+    results['runs']['full'] = run(args.steps, None, args.eval_every,
+                                  args.batch, **kw)
   for cap in [float(c) for c in args.capacities.split(',') if c]:
     results['runs'][f'cull_{cap}'] = run(args.steps, cap, args.eval_every,
                                          args.batch, **kw)
   suffix = '' if args.loader == 'dummy_sphere' else f'_{args.loader}'
+  if args.tag:
+    suffix += f'_{args.tag}'
   out = os.path.join(args.out, f'cull_quality{suffix}.json')
   with open(out, 'w') as f:
     json.dump(results, f, indent=1)

@@ -37,8 +37,9 @@ def make_global_batch(n, seed=5):
   return types.Batch(rays=rays, rgb=rs.rand(n, 3).astype(np.float32))
 
 
-def run(num_processes, batch_size=64, train_steps=3):
-  """Shared by the workers AND the parent's single-process ground truth."""
+def _build(num_processes, batch_size):
+  """Identical model/mesh/batch construction for every scenario and the
+  parent's single-process ground truth."""
   import jax
   import numpy as np
 
@@ -46,7 +47,6 @@ def run(num_processes, batch_size=64, train_steps=3):
   from multinerf_tpu import ginlite
   from multinerf_tpu import train_lib
   from multinerf_tpu.data import datasets
-  from multinerf_tpu.models import nerf as models
   from multinerf_tpu.parallel import mesh as mesh_lib
 
   ginlite.clear_config()
@@ -81,6 +81,19 @@ def run(num_processes, batch_size=64, train_steps=3):
   local = jax.tree_util.tree_map(
       lambda x: x[start:start + local_rows], batch)
   gbatch = mesh_lib.shard_batch_to_global(mesh, local)
+  return config, mesh, dataset, state, render_eval_pfn, train_pstep, gbatch
+
+
+def run(num_processes, batch_size=64, train_steps=3):
+  """Shared by the workers AND the parent's single-process ground truth."""
+  import functools
+  import jax
+  import numpy as np
+
+  from multinerf_tpu.models import nerf as models
+
+  (config, mesh, dataset, state, render_eval_pfn, train_pstep,
+   gbatch) = _build(num_processes, batch_size)
 
   losses = []
   rng = jax.random.PRNGKey(1)
@@ -100,17 +113,63 @@ def run(num_processes, batch_size=64, train_steps=3):
           'n_devices': jax.device_count()}
 
 
+def train_window(train_pstep, state, gbatch, steps):
+  """Run `steps` optimizer steps with per-step rngs derived from the global
+  step counter, so a restored run replays the exact rng sequence."""
+  import jax
+  losses = []
+  for _ in range(steps):
+    step_rng = jax.random.fold_in(jax.random.PRNGKey(7), int(state.step))
+    state, stats, _ = train_pstep(step_rng, state, gbatch, 0.5, 1.0)
+    losses.append(float(stats['loss']))
+  return state, losses
+
+
+def run_ckpt(num_processes, ckpt_dir, steps_per_phase=3, batch_size=64):
+  """One phase of the save -> kill -> restore continuation scenario.
+
+  Restores the latest checkpoint if one exists (phase 2), trains
+  `steps_per_phase` steps, saves — from EVERY process, the orbax multi-host
+  contract train.py follows — and reports the losses + start step.  The
+  parent asserts phase1+phase2 losses equal an uninterrupted single-process
+  run's.
+  """
+  import jax
+
+  from multinerf_tpu.utils import checkpoints as ckpt_lib
+
+  _, _, _, state, _, train_pstep, gbatch = _build(num_processes, batch_size)
+
+  ckpt = ckpt_lib.CheckpointManager(ckpt_dir, keep=3)
+  state = ckpt.restore_latest(state)
+  start_step = int(state.step)
+
+  state, losses = train_window(train_pstep, state, gbatch, steps_per_phase)
+  ckpt.save(int(state.step), jax.device_get(state))
+  ckpt.wait_until_finished()
+  ckpt.close()
+  return {'start_step': start_step, 'losses': losses,
+          'n_processes': jax.process_count(),
+          'n_devices': jax.device_count()}
+
+
 def main():
   proc_id = int(sys.argv[1])
   num_processes = int(sys.argv[2])
   port = int(sys.argv[3])
+  scenario = sys.argv[4] if len(sys.argv) > 4 else 'train'
 
   import jax
   jax.config.update('jax_platforms', 'cpu')
   jax.distributed.initialize(coordinator_address=f'localhost:{port}',
                              num_processes=num_processes,
                              process_id=proc_id)
-  result = run(num_processes)
+  if scenario == 'train':
+    result = run(num_processes)
+  elif scenario == 'ckpt':
+    result = run_ckpt(num_processes, ckpt_dir=sys.argv[5])
+  else:
+    raise ValueError(f'unknown scenario {scenario}')
   result['pid'] = proc_id
   print('RESULT ' + json.dumps(result), flush=True)
 

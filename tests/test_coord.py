@@ -202,3 +202,36 @@ def test_lift_and_diagonalize():
   want_v = np.einsum('ij,bjk,ki->bi', basis.T, cov, basis)
   np.testing.assert_allclose(np.array(m), want_m, rtol=1e-4, atol=1e-4)
   np.testing.assert_allclose(np.array(v), want_v, rtol=1e-3, atol=1e-3)
+
+
+def test_ipe_lifted_bf16_out_dtype():
+  """The bf16 storage path (what production TPU MLPs request via
+  out_dtype) is exercised on CPU too: values equal the f32 path to bf16
+  rounding, dtype is honored by both formulations, and the default stays
+  full f32 (the cast is the caller's opt-in, not backend magic)."""
+  import os
+  rng = np.random.RandomState(9)
+  mean = jnp.array((rng.randn(64, 3) * 0.8).astype(np.float32))
+  a = rng.randn(64, 3, 3).astype(np.float32) * 0.02
+  cov = jnp.array(a @ np.swapaxes(a, -1, -2))
+  basis = rng.randn(3, 21).astype(np.float32)
+
+  f32 = coord.integrated_pos_enc_lifted(mean, cov, basis, 0, 12)
+  assert f32.dtype == jnp.float32  # Default: no cast.
+
+  bf16 = coord.integrated_pos_enc_lifted(mean, cov, basis, 0, 12,
+                                         out_dtype=jnp.bfloat16)
+  assert bf16.dtype == jnp.bfloat16
+  np.testing.assert_allclose(
+      np.array(bf16, np.float32), np.array(f32), rtol=1e-2, atol=1e-2)
+
+  os.environ['MULTINERF_IPE_RECURRENCE'] = '0'
+  try:
+    direct = coord.integrated_pos_enc_lifted(mean, cov, basis, 0, 12,
+                                             out_dtype=jnp.bfloat16)
+  finally:
+    del os.environ['MULTINERF_IPE_RECURRENCE']
+  assert direct.dtype == jnp.bfloat16
+  np.testing.assert_allclose(
+      np.array(direct, np.float32), np.array(bf16, np.float32),
+      rtol=1e-2, atol=1e-2)

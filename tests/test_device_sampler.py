@@ -139,9 +139,10 @@ def test_scan_train_step_matches_single_steps():
 
 def test_scan_train_step_with_culling_protocol_in_scan():
   """The device-side culling protocol: warmup -> refresh -> self-gated
-  culled steps, all inside one lax.scan (no host involvement).  Training
-  must stay finite/improving through the in-scan switch, the gate flag
-  must thread across windows, and the grid must populate."""
+  culled steps over a CAPACITY LADDER, all inside one lax.scan (no host
+  involvement).  Training must stay finite/improving through the in-scan
+  switch, the gate index must thread across windows, and the grid must
+  populate."""
   _tiny_model_bindings()
   config = configs_lib.Config(
       dataset_loader='dummy', batch_size=256, data_loss_type='mse',
@@ -149,7 +150,9 @@ def test_scan_train_step_with_culling_protocol_in_scan():
       lr_delay_steps=0, device_data_plane=True, steps_per_jit_call=8,
       occupancy_culling=True, occupancy_grid_resolution=16,
       occupancy_warmup_steps=16, occupancy_grid_refresh_every=8,
-      occupancy_capacity_frac=0.75, occupancy_threshold=1e-4)
+      occupancy_capacity_frac=0.75,
+      occupancy_capacity_ladder=(0.5, 0.75),
+      occupancy_threshold=1e-4)
   mesh = mesh_lib.create_mesh()
   dataset = datasets.load_dataset('train', '', config)
   rng = jax.random.PRNGKey(0)

@@ -37,8 +37,8 @@ def _free_port():
   return port
 
 
-@pytest.fixture(scope='module')
-def two_process_results():
+def _spawn_cluster(extra_args=()):
+  """Run one 2-process cluster to completion; return both RESULT dicts."""
   port = _free_port()
   env = dict(os.environ)
   env['JAX_PLATFORMS'] = 'cpu'
@@ -48,7 +48,7 @@ def two_process_results():
   procs = [
       subprocess.Popen(
           [sys.executable, os.path.join(HELPERS, 'mp_worker.py'),
-           str(i), '2', str(port)],
+           str(i), '2', str(port), *extra_args],
           env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
           text=True)
       for i in range(2)
@@ -61,6 +61,11 @@ def two_process_results():
     assert lines, f'no RESULT line:\n{out[-4000:]}'
     results.append(json.loads(lines[-1][len('RESULT '):]))
   return results
+
+
+@pytest.fixture(scope='module')
+def two_process_results():
+  return _spawn_cluster()
 
 
 def test_two_process_cluster_forms(two_process_results):
@@ -87,3 +92,37 @@ def test_multiprocess_matches_single_process(two_process_results):
   # Both processes computed identical (replicated) results.
   np.testing.assert_allclose(two_process_results[0]['losses'],
                              two_process_results[1]['losses'], rtol=1e-6)
+
+
+def test_multiprocess_checkpoint_save_kill_restore(tmp_path):
+  """Orbax save from every process; kill; restore; trajectory continues.
+
+  Phase 1 trains 3 steps in a 2-process cluster and checkpoints (all
+  processes call save — the orbax multi-host contract train.py follows).
+  The cluster then dies.  Phase 2 is a FRESH cluster that restores the
+  latest checkpoint and trains 3 more steps.  The concatenated loss
+  trajectory must equal an uninterrupted single-process 6-step run's.
+  """
+  ckpt_dir = str(tmp_path / 'ckpts')
+  phase1 = _spawn_cluster(('ckpt', ckpt_dir))
+  phase2 = _spawn_cluster(('ckpt', ckpt_dir))
+
+  for r in phase1:
+    assert r['start_step'] == 0
+    assert r['n_processes'] == 2
+  for r in phase2:
+    assert r['start_step'] == 3  # Restored mid-run, not from scratch.
+
+  sys.path.insert(0, HELPERS)
+  import mp_worker
+  _, _, _, state, _, train_pstep, gbatch = mp_worker._build(
+      num_processes=1, batch_size=64)
+  _, straight = mp_worker.train_window(train_pstep, state, gbatch, steps=6)
+
+  interrupted = phase1[0]['losses'] + phase2[0]['losses']
+  np.testing.assert_allclose(interrupted, straight, rtol=1e-4, atol=1e-6)
+  # Both processes of each phase agree (replicated trajectories).
+  np.testing.assert_allclose(phase1[0]['losses'], phase1[1]['losses'],
+                             rtol=1e-6)
+  np.testing.assert_allclose(phase2[0]['losses'], phase2[1]['losses'],
+                             rtol=1e-6)

@@ -74,10 +74,15 @@ def main(unused_argv):
   setup = train_lib.setup_model(config, key, mesh=mesh, dataset=dataset)
   model, state, render_eval_pfn, train_pstep, lr_fn = setup
 
-  train_pstep_cull = None
+  cull_steps = {}  # capacity -> jitted culled step (the gate's ladder).
+  cull_ladder = ()
   refresh_grid_fn = None
-  cull_engaged = False
+  cull_cap = None  # Currently engaged ladder capacity; None = uncull.
+  cull_idx = 0  # Scan-path equivalent (0 = uncull, i = ladder[i-1]).
   if config.occupancy_culling:
+    cull_ladder = tuple(sorted(
+        config.occupancy_capacity_ladder or
+        (config.occupancy_capacity_frac,)))
     if config.device_data_plane:
       # The scan-stepped device plane runs the whole culling protocol
       # (step choice, grid refresh, self-gating) inside the scan body —
@@ -88,8 +93,9 @@ def main(unused_argv):
             'steps_per_jit_call > 1 (culling runs inside the scan).')
     else:
       from multinerf_tpu.models import culling
-      train_pstep_cull = train_lib.create_train_step(
-          model, config, mesh, dataset=dataset, cull=True)
+      for cap in cull_ladder:
+        cull_steps[cap] = train_lib.create_train_step(
+            model, config, mesh, dataset=dataset, cull=cap)
       refresh_grid_fn = culling.make_refresh_fn(model, config, mesh)
 
   device_plane = None
@@ -176,9 +182,9 @@ def main(unused_argv):
 
     if device_plane is None:
       step_fn = train_pstep
-      if (train_pstep_cull is not None and cull_engaged and
+      if (cull_cap is not None and cull_cap in cull_steps and
           step0 > config.occupancy_warmup_steps):
-        step_fn = train_pstep_cull
+        step_fn = cull_steps[cull_cap]
       state, stats, rng = step_fn(rng, state, batch, train_frac,
                                   loss_threshold)
       if (refresh_grid_fn is not None and
@@ -189,15 +195,17 @@ def main(unused_argv):
         state = state.replace(
             params={**state.params, 'occupancy': {'grid': new_grid}})
         # Self-gating: cull only while the measured occupied fraction fits
-        # the capacity — otherwise the compaction would drop LIVE samples
-        # and bias the learned density field.  Checked at refresh cadence
-        # (one scalar fetch); flips both ways as the scene evolves.
+        # a ladder capacity — otherwise the compaction would drop LIVE
+        # samples and bias the learned density field.  Picks the SMALLEST
+        # rung that fits (checked at refresh cadence, one scalar fetch);
+        # moves both ways as the scene evolves.
         kf = stats.get('occ_keep_frac')
         if kf is not None:
-          cull_engaged = float(kf) <= config.occupancy_capacity_frac
+          kf = float(kf)
+          cull_cap = next((c for c in cull_ladder if kf <= c), None)
     elif scan_steps > 1:
-      state, stats, rng, loss_threshold, cull_engaged = train_pstep_device(
-          rng, state, step0, loss_threshold, cull_engaged)
+      state, stats, rng, loss_threshold, cull_idx = train_pstep_device(
+          rng, state, step0, loss_threshold, cull_idx)
     else:
       state, stats, rng = train_pstep_device(rng, state, train_frac,
                                              loss_threshold)
@@ -295,8 +303,14 @@ def main(unused_argv):
 
         reset_stats = True
 
-      if step == 1 or step % config.checkpoint_every == 0:
-        ckpt.save(step, jax.device_get(state))
+    # Checkpointing: EVERY process calls save (orbax coordinates the
+    # single-writer protocol and its cross-host barriers internally;
+    # host-0-only saving is a flax-ism that deadlocks or corrupts a
+    # multi-host run).  device_get snapshots the replicated state to host
+    # memory so the async write never races the step loop's buffer
+    # donation.
+    if step == 1 or step % config.checkpoint_every == 0:
+      ckpt.save(step, jax.device_get(state))
 
     # In-train test-set render.
     if config.train_render_every > 0 and step % config.train_render_every == 0:
@@ -350,7 +364,7 @@ def main(unused_argv):
         for k, v in vis_suite.items():
           summary_writer.image('test_output_' + k, v, step)
 
-  if jax.process_index() == 0 and config.max_steps % config.checkpoint_every != 0:
+  if config.max_steps % config.checkpoint_every != 0:
     ckpt.save(config.max_steps, jax.device_get(state))
   ckpt.wait_until_finished()
 
