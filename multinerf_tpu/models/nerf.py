@@ -33,6 +33,13 @@ from multinerf_tpu.ops import rendering
 from multinerf_tpu.ops import stepfun
 
 
+def _schlick_ease(t, slope):
+  """Schlick's bias curve, easing the resample-weight anneal in over
+  training: 0 -> 0, 1 -> 1, with `slope` controlling how fast the middle
+  ramps."""
+  return (slope * t) / ((slope - 1) * t + 1)
+
+
 @ginlite.configurable(name='Model')
 class Model(nn.Module):
   """A mip-NeRF 360 model containing all MLPs."""
@@ -99,6 +106,8 @@ class Model(nn.Module):
 
     track_occupancy = (self.config is not None and
                        getattr(self.config, 'occupancy_culling', False))
+    cull_props = bool(cull) and (self.config is not None and getattr(
+        self.config, 'occupancy_cull_proposals', False))
     if track_occupancy:
       grid_res = self.config.occupancy_grid_resolution
       occupancy_grid = self.variable(
@@ -135,79 +144,92 @@ class Model(nn.Module):
       init_s_near = jnp.clip(1 - train_frac / self.near_anneal_rate, 0,
                              self.near_anneal_init)
     init_s_far = 1.0
-    sdist = jnp.concatenate([
+    # The running histogram: knot vector over normalized ray distance plus
+    # one weight per interval.  Starts as a single all-mass interval
+    # spanning the whole domain; each level resamples it finer.
+    s_edges = jnp.concatenate([
         jnp.full_like(rays.near, init_s_near),
         jnp.full_like(rays.far, init_s_far)
     ], axis=-1)
-    weights = jnp.ones_like(rays.near)
-    prod_num_samples = 1
+    hist_weights = jnp.ones_like(rays.near)
+    resolution_so_far = 1  # Product of sample counts of finished levels.
 
     ray_history = []
     renderings = []
-    for i_level in range(self.num_levels):
-      is_prop = i_level < (self.num_levels - 1)
-      num_samples = self.num_prop_samples if is_prop else self.num_nerf_samples
+    for level in range(self.num_levels):
+      final_level = level == self.num_levels - 1
+      level_samples = (self.num_nerf_samples if final_level
+                       else self.num_prop_samples)
 
-      # Dilation: a multiple of the expected interval span plus a bias.
-      dilation = self.dilation_bias + self.dilation_multiplier * (
-          init_s_far - init_s_near) / prod_num_samples
-      prod_num_samples *= num_samples
-
-      use_dilation = self.dilation_bias > 0 or self.dilation_multiplier > 0
-      if i_level > 0 and use_dilation:
-        sdist, weights = stepfun.max_dilate_weights(
-            sdist, weights, dilation,
+      if level > 0 and (self.dilation_bias > 0 or
+                        self.dilation_multiplier > 0):
+        # Anti-alias the incoming histogram: widen every interval by an
+        # absolute bias plus a multiple of the mean interval span at the
+        # hierarchy's resolution so far, then drop the two domain-edge
+        # knots the dilation introduced.
+        pad = (self.dilation_bias +
+               self.dilation_multiplier * (init_s_far - init_s_near) /
+               resolution_so_far)
+        s_edges, hist_weights = stepfun.max_dilate_weights(
+            s_edges, hist_weights, pad,
             domain=(init_s_near, init_s_far),
             renormalize=True)
-        sdist = sdist[..., 1:-1]
-        weights = weights[..., 1:-1]
+        s_edges = s_edges[..., 1:-1]
+        hist_weights = hist_weights[..., 1:-1]
+      resolution_so_far *= level_samples
 
-      if self.anneal_slope > 0:
-        # Schlick's bias function eases the anneal in.
-        bias = lambda x, s: (s * x) / ((s - 1) * x + 1)
-        anneal = bias(train_frac, self.anneal_slope)
-      else:
-        anneal = 1.0
-
-      # weights**anneal in log space; zero-width intervals pinned to -inf.
-      logits_resample = jnp.where(
-          sdist[..., 1:] > sdist[..., :-1],
-          anneal * jnp.log(weights + self.resample_padding), -jnp.inf)
+      ease = (_schlick_ease(train_frac, self.anneal_slope)
+              if self.anneal_slope > 0 else 1.0)
+      # Annealed weights in log space (weights**ease); zero-width
+      # intervals are pinned to -inf so resampling never lands in them.
+      log_resample_weights = jnp.where(
+          s_edges[..., 1:] > s_edges[..., :-1],
+          ease * jnp.log(hist_weights + self.resample_padding), -jnp.inf)
+      if cull_props and level > 0:
+        # A culled previous level produces EXACT-zero weights; a ray whose
+        # every interval was culled (or underflowed) would make this row
+        # all -inf and NaN the inverse CDF.  Fall back to uniform
+        # resampling for such dead rays.
+        dead = jnp.all(log_resample_weights == -jnp.inf, axis=-1,
+                       keepdims=True)
+        log_resample_weights = jnp.where(dead, 0.0, log_resample_weights)
 
       key, rng = random_split(rng)
-      sdist = stepfun.sample_intervals(
-          key, sdist, logits_resample, num_samples,
+      s_edges = stepfun.sample_intervals(
+          key, s_edges, log_resample_weights, level_samples,
           single_jitter=self.single_jitter,
           domain=(init_s_near, init_s_far),
           use_gpu_resampling=self.use_gpu_resampling)
-
-      # Gradients through sampling destabilize optimization.
       if self.stop_level_grad:
-        sdist = jax.lax.stop_gradient(sdist)
+        # Gradients through sampling destabilize optimization.
+        s_edges = jax.lax.stop_gradient(s_edges)
 
-      tdist = s_to_t(sdist)
-
+      t_edges = s_to_t(s_edges)
       gaussians = rendering.cast_rays(
-          tdist, rays.origins, rays.directions, rays.radii, self.ray_shape,
-          diag=False)
-
+          t_edges, rays.origins, rays.directions, rays.radii,
+          self.ray_shape, diag=False)
       if self.disable_integration:
         # Zero covariance turns IPE into plain PE.
         gaussians = (gaussians[0], jnp.zeros_like(gaussians[1]))
 
-      mlp = prop_mlp if is_prop else nerf_mlp
+      mlp = nerf_mlp if final_level else prop_mlp
       key, rng = random_split(rng)
-      if cull and not is_prop:
+      if cull and (final_level or cull_props):
         # Empty-space culling: only samples whose occupancy cell clears the
-        # density threshold reach the (8x1024) NerfMLP, compacted batch-wide
-        # to a static-capacity buffer (models/culling.py).
+        # density threshold reach the MLP, compacted batch-wide to a
+        # static-capacity buffer (models/culling.py).  Proposal levels join
+        # in under Config.occupancy_cull_proposals (their fully-fused
+        # density MLPs still price every sample otherwise).
         cells = culling.cell_ids(gaussians[0], grid_res)
         occ = occupancy_grid.value[cells]
         keep = occ > self.config.occupancy_threshold
-        if self.opaque_background:
-          # The terminal interval's alpha is forced to 1 regardless of its
-          # density (rendering.compute_alpha_weights), so a culled last
-          # sample would paint the whole ray with the rgb fill (black).
+        if self.opaque_background or not final_level:
+          # The terminal interval is always evaluated.  Final level: an
+          # opaque background forces its alpha to 1 regardless of density
+          # (rendering.compute_alpha_weights), so a culled last sample
+          # would paint the whole ray with the rgb fill (black).  Proposal
+          # levels: it keeps at least one genuinely-evaluated interval per
+          # ray so fully-empty rays still carry usable resample weights.
           keep = keep.at[..., -1].set(True)
         ray_results = culling.apply_culled(
             mlp, key, gaussians,
@@ -216,12 +238,13 @@ class Model(nn.Module):
                            else self.config.occupancy_capacity_frac),
             viewdirs=rays.viewdirs if self.use_viewdirs else None,
             imageplane=rays.imageplane,
-            glo_vec=glo_vec,
+            glo_vec=glo_vec if final_level else None,
             exposure=rays.exposure_values,
-            # Compact grid feedback: only the evaluated samples' densities
-            # can exceed the EMA-max floor; scattering the zero-filled
-            # culled samples is pure overhead.
-            cells=cells if track_occupancy else None,
+            # Compact grid feedback from the FINAL level only: the grid is
+            # calibrated on NerfMLP densities (proposal densities are
+            # supervised proxies), and only evaluated samples can exceed
+            # the EMA-max floor anyway.
+            cells=cells if (track_occupancy and final_level) else None,
         )
       else:
         ray_results = mlp(
@@ -229,42 +252,48 @@ class Model(nn.Module):
             gaussians,
             viewdirs=rays.viewdirs if self.use_viewdirs else None,
             imageplane=rays.imageplane,
-            glo_vec=None if is_prop else glo_vec,
+            glo_vec=glo_vec if final_level else None,
             exposure=rays.exposure_values,
         )
-      if track_occupancy and not is_prop:
-        # Online grid feedback for the training step (consumed by
-        # train_lib; stop-gradded scalars, no effect on the loss).  The
-        # culled branch already exported the compact versions.
-        if not cull:
+        if track_occupancy and final_level:
+          # Online grid feedback for the training step (consumed by
+          # train_lib; stop-gradded scalars, no effect on the loss).  The
+          # culled branch exports the compact versions instead.
           ray_results['occ_cells'] = culling.cell_ids(gaussians[0],
                                                       grid_res)
           ray_results['occ_density'] = jax.lax.stop_gradient(
               ray_results['density'])
           # Measured even while not culling: train.py engages the culled
-          # step only once this drops below the capacity — culling a scene
-          # whose occupied fraction exceeds capacity would drop live
+          # step only once this fits a ladder capacity — culling a scene
+          # whose occupied fraction exceeds capacity would drop LIVE
           # samples and bias the learned field.
           occ = culling.lookup(occupancy_grid.value, gaussians[0], grid_res)
           ray_results['occ_keep_frac'] = jnp.mean(
               (occ > self.config.occupancy_threshold).astype(jnp.float32))
+        elif (track_occupancy and not final_level and
+              self.config is not None and
+              getattr(self.config, 'occupancy_cull_proposals', False)):
+          # Gate input for proposal culling: the gate needs every level's
+          # keep fraction BEFORE engaging (it gates on the max), so the
+          # uncull/warmup step measures the proposal levels too.
+          occ = culling.lookup(occupancy_grid.value, gaussians[0], grid_res)
+          ray_results['occ_keep_frac'] = jnp.mean(
+              (occ > self.config.occupancy_threshold).astype(jnp.float32))
 
-      weights = rendering.compute_alpha_weights(
-          ray_results['density'], tdist, rays.directions,
+      hist_weights = rendering.compute_alpha_weights(
+          ray_results['density'], t_edges, rays.directions,
           opaque_background=self.opaque_background)[0]
 
       # Background color: fixed, midpoint (deterministic), or sampled.
-      if self.bg_intensity_range[0] == self.bg_intensity_range[1]:
-        bg_rgbs = self.bg_intensity_range[0]
+      lo, hi = self.bg_intensity_range[0], self.bg_intensity_range[1]
+      if lo == hi:
+        bg_rgbs = lo
       elif rng is None:
-        bg_rgbs = (self.bg_intensity_range[0] +
-                   self.bg_intensity_range[1]) / 2
+        bg_rgbs = (lo + hi) / 2
       else:
         key, rng = random_split(rng)
         bg_rgbs = jax.random.uniform(
-            key, shape=weights.shape[:-1] + (3,),
-            minval=self.bg_intensity_range[0],
-            maxval=self.bg_intensity_range[1])
+            key, shape=hist_weights.shape[:-1] + (3,), minval=lo, maxval=hi)
 
       # RawNeRF exposure logic.
       if rays.exposure_idx is not None:
@@ -279,8 +308,8 @@ class Model(nn.Module):
 
       rendering_out = rendering.volumetric_rendering(
           ray_results['rgb'],
-          weights,
-          tdist,
+          hist_weights,
+          t_edges,
           bg_rgbs,
           rays.far,
           compute_extras,
@@ -293,17 +322,17 @@ class Model(nn.Module):
         # A small bag of rays for strip-chart visualization; 'ray_' prefixed
         # keys are treated as ray bundles downstream, not image buffers.
         n = self.config.vis_num_rays if self.config is not None else 16
-        rendering_out['ray_sdist'] = sdist.reshape(
-            [-1, sdist.shape[-1]])[:n, :]
-        rendering_out['ray_weights'] = weights.reshape(
-            [-1, weights.shape[-1]])[:n, :]
+        rendering_out['ray_sdist'] = s_edges.reshape(
+            [-1, s_edges.shape[-1]])[:n, :]
+        rendering_out['ray_weights'] = hist_weights.reshape(
+            [-1, hist_weights.shape[-1]])[:n, :]
         rgb = ray_results['rgb']
         rendering_out['ray_rgbs'] = rgb.reshape(
             (-1,) + rgb.shape[-2:])[:n, :, :]
 
       renderings.append(rendering_out)
-      ray_results['sdist'] = jnp.copy(sdist)
-      ray_results['weights'] = jnp.copy(weights)
+      ray_results['sdist'] = jnp.copy(s_edges)
+      ray_results['weights'] = jnp.copy(hist_weights)
       ray_history.append(ray_results)
 
     if compute_extras:

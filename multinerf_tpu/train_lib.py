@@ -317,10 +317,15 @@ def create_train_step(model, config, mesh, dataset=None, jit=True,
         # Aux for the grid update below; popped before stats leave the step.
         stats['occ_cells'] = ray_history[-1]['occ_cells']
         stats['occ_density'] = ray_history[-1]['occ_density']
-        if 'occ_keep_frac' in ray_history[-1]:
+        keep_fracs = [rr['occ_keep_frac'] for rr in ray_history
+                      if 'occ_keep_frac' in rr]
+        if keep_fracs:
           # Fraction of samples whose cell cleared the threshold — the
-          # number to watch when tuning occupancy_capacity_frac.
-          stats['occ_keep_frac'] = ray_history[-1]['occ_keep_frac']
+          # self-gate's input.  With proposal culling enabled every level
+          # reports one; the gate must satisfy the WORST (max) level.
+          stats['occ_keep_frac'] = (
+              keep_fracs[0] if len(keep_fracs) == 1
+              else jnp.max(jnp.stack(keep_fracs)))
       return stats['loss'], stats
 
     loss_grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
