@@ -194,13 +194,6 @@ def main():
   cull_capacity = 0.33
   culled_rays_per_sec = ladder[cull_capacity]
 
-  # Proposal-level culling on top (Config.occupancy_cull_proposals): the
-  # fully-fused proposal MLPs also evaluate only grid-occupied samples.
-  state_p, step_p, batch_p = build(
-      {'occupancy_culling': True, 'occupancy_capacity_frac': cull_capacity,
-       'occupancy_cull_proposals': True}, BF16, cull=True)
-  cull_props_rays_per_sec = time_variant(state_p, step_p, batch_p)
-
   # Reference-algorithm path: the env toggle selects the reference's
   # formulations throughout (autodiff-linearized contraction coord.py:39-60,
   # composed lift+IPE coord.py:107-133, searchsorted+gather proposal loss
@@ -241,8 +234,6 @@ def main():
       # sustains.  The floor for keep<=0.67 scenes.
       'ladder_vs_baseline': {
           str(cap): round(v / denom, 3) for cap, v in ladder.items()},
-      # Headline capacity + proposal-level culling stacked on top.
-      'vs_baseline_cull_props': round(cull_props_rays_per_sec / denom, 3),
       # The uncull step (bf16 trunk — the shipping config; no culling).
       'uncull_rays_per_sec_per_chip': round(rays_per_sec / n_chips, 1),
       'vs_baseline_uncull': round(rays_per_sec / denom, 3),

@@ -111,11 +111,6 @@ class Config:
   # denser scenes still cull at a coarser rate instead of dropping to the
   # full step.  None = single-capacity gate at occupancy_capacity_frac.
   occupancy_capacity_ladder: Optional[Tuple[float, ...]] = None
-  # Also cull the PROPOSAL levels' (fully-fused) density MLPs through the
-  # same grid and capacity.  Proposal sampling starts uniform over the ray,
-  # so on sparse scenes proposal keep fractions sit at or below the final
-  # level's; the self-gate measures the max across levels either way.
-  occupancy_cull_proposals: bool = False
   occupancy_warmup_steps: int = 512  # Cull-free steps while the grid warms.
   occupancy_grid_refresh_every: int = 256  # Steps between MLP grid probes.
   data_loss_type: str = 'charb'  # mse | charb | rawnerf | robustnerf.

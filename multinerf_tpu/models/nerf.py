@@ -106,8 +106,6 @@ class Model(nn.Module):
 
     track_occupancy = (self.config is not None and
                        getattr(self.config, 'occupancy_culling', False))
-    cull_props = bool(cull) and (self.config is not None and getattr(
-        self.config, 'occupancy_cull_proposals', False))
     if track_occupancy:
       grid_res = self.config.occupancy_grid_resolution
       occupancy_grid = self.variable(
@@ -185,14 +183,6 @@ class Model(nn.Module):
       log_resample_weights = jnp.where(
           s_edges[..., 1:] > s_edges[..., :-1],
           ease * jnp.log(hist_weights + self.resample_padding), -jnp.inf)
-      if cull_props and level > 0:
-        # A culled previous level produces EXACT-zero weights; a ray whose
-        # every interval was culled (or underflowed) would make this row
-        # all -inf and NaN the inverse CDF.  Fall back to uniform
-        # resampling for such dead rays.
-        dead = jnp.all(log_resample_weights == -jnp.inf, axis=-1,
-                       keepdims=True)
-        log_resample_weights = jnp.where(dead, 0.0, log_resample_weights)
 
       key, rng = random_split(rng)
       s_edges = stepfun.sample_intervals(
@@ -214,22 +204,21 @@ class Model(nn.Module):
 
       mlp = nerf_mlp if final_level else prop_mlp
       key, rng = random_split(rng)
-      if cull and (final_level or cull_props):
+      if cull and final_level:
         # Empty-space culling: only samples whose occupancy cell clears the
-        # density threshold reach the MLP, compacted batch-wide to a
-        # static-capacity buffer (models/culling.py).  Proposal levels join
-        # in under Config.occupancy_cull_proposals (their fully-fused
-        # density MLPs still price every sample otherwise).
+        # density threshold reach the (8x1024) NerfMLP, compacted
+        # batch-wide to a static-capacity buffer (models/culling.py).
+        # The FINAL level only: per-sample culling pays where the
+        # per-sample work dwarfs the compaction's data plumbing; for the
+        # fully-fused proposal MLPs the 262k-scale gathers/scatters cost
+        # MORE than the matmuls they skip (profiled; docs/DESIGN.md).
         cells = culling.cell_ids(gaussians[0], grid_res)
         occ = occupancy_grid.value[cells]
         keep = occ > self.config.occupancy_threshold
-        if self.opaque_background or not final_level:
-          # The terminal interval is always evaluated.  Final level: an
-          # opaque background forces its alpha to 1 regardless of density
-          # (rendering.compute_alpha_weights), so a culled last sample
-          # would paint the whole ray with the rgb fill (black).  Proposal
-          # levels: it keeps at least one genuinely-evaluated interval per
-          # ray so fully-empty rays still carry usable resample weights.
+        if self.opaque_background:
+          # The terminal interval's alpha is forced to 1 regardless of its
+          # density (rendering.compute_alpha_weights), so a culled last
+          # sample would paint the whole ray with the rgb fill (black).
           keep = keep.at[..., -1].set(True)
         ray_results = culling.apply_culled(
             mlp, key, gaussians,
@@ -238,13 +227,12 @@ class Model(nn.Module):
                            else self.config.occupancy_capacity_frac),
             viewdirs=rays.viewdirs if self.use_viewdirs else None,
             imageplane=rays.imageplane,
-            glo_vec=glo_vec if final_level else None,
+            glo_vec=glo_vec,
             exposure=rays.exposure_values,
-            # Compact grid feedback from the FINAL level only: the grid is
-            # calibrated on NerfMLP densities (proposal densities are
-            # supervised proxies), and only evaluated samples can exceed
-            # the EMA-max floor anyway.
-            cells=cells if (track_occupancy and final_level) else None,
+            # Compact grid feedback: only the evaluated samples' densities
+            # can exceed the EMA-max floor; scattering the zero-filled
+            # culled samples is pure overhead.
+            cells=cells if track_occupancy else None,
         )
       else:
         ray_results = mlp(
@@ -267,15 +255,6 @@ class Model(nn.Module):
           # step only once this fits a ladder capacity — culling a scene
           # whose occupied fraction exceeds capacity would drop LIVE
           # samples and bias the learned field.
-          occ = culling.lookup(occupancy_grid.value, gaussians[0], grid_res)
-          ray_results['occ_keep_frac'] = jnp.mean(
-              (occ > self.config.occupancy_threshold).astype(jnp.float32))
-        elif (track_occupancy and not final_level and
-              self.config is not None and
-              getattr(self.config, 'occupancy_cull_proposals', False)):
-          # Gate input for proposal culling: the gate needs every level's
-          # keep fraction BEFORE engaging (it gates on the max), so the
-          # uncull/warmup step measures the proposal levels too.
           occ = culling.lookup(occupancy_grid.value, gaussians[0], grid_res)
           ray_results['occ_keep_frac'] = jnp.mean(
               (occ > self.config.occupancy_threshold).astype(jnp.float32))

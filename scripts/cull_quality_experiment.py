@@ -60,7 +60,7 @@ BINDINGS = BASE_BINDINGS + DEBUG_WIDTHS  # Overridden by --flagship in main.
 
 
 def run(steps, capacity, eval_every, batch_size, loader='dummy_sphere',
-        near=2.0, far=6.0, cull_proposals=False):
+        near=2.0, far=6.0):
   """Train once; capacity=None disables culling.  Returns the PSNR curve."""
   from multinerf_tpu import configs as configs_lib
   from multinerf_tpu import ginlite
@@ -84,7 +84,6 @@ def run(steps, capacity, eval_every, batch_size, loader='dummy_sphere',
       lr_init=2e-3, lr_final=2e-5, lr_delay_steps=512, lr_delay_mult=0.01)
   if capacity is not None:
     kwargs.update(occupancy_culling=True, occupancy_capacity_frac=capacity,
-                  occupancy_cull_proposals=cull_proposals,
                   occupancy_warmup_steps=max(1, steps // 8))
   config = configs_lib.Config(**kwargs)
   mesh = mesh_lib.create_mesh()
@@ -171,8 +170,6 @@ def main():
                  help='Extra output-filename tag (e.g. the trunk dtype).')
   p.add_argument('--skip_full', action='store_true',
                  help='Only run the culled arms (reuse a prior full run).')
-  p.add_argument('--cull_proposals', action='store_true',
-                 help='Culled arms also cull the proposal levels.')
   args = p.parse_args()
 
   global BINDINGS
@@ -191,10 +188,8 @@ def main():
     results['runs']['full'] = run(args.steps, None, args.eval_every,
                                   args.batch, **kw)
   for cap in [float(c) for c in args.capacities.split(',') if c]:
-    name = f'cull_{cap}' + ('_props' if args.cull_proposals else '')
-    results['runs'][name] = run(args.steps, cap, args.eval_every,
-                                args.batch,
-                                cull_proposals=args.cull_proposals, **kw)
+    results['runs'][f'cull_{cap}'] = run(args.steps, cap, args.eval_every,
+                                         args.batch, **kw)
   suffix = '' if args.loader == 'dummy_sphere' else f'_{args.loader}'
   if args.tag:
     suffix += f'_{args.tag}'

@@ -348,74 +348,3 @@ def test_gather_rows_vjp_matches_autodiff_scatter():
                              np.array(g_auto[:cap]), rtol=1e-6, atol=1e-6)
   np.testing.assert_array_equal(np.array(g_custom[cap]), 0.0)
 
-
-def test_prop_culling_full_grid_matches_uncull_step():
-  """Config.occupancy_cull_proposals: with every grid cell occupied and
-  capacity 1.0, the prop-culled step computes the SAME loss and gradients
-  as the uncull step (compaction is then a pure permutation at every
-  level), and exports a keep fraction of 1 from the worst level."""
-  config = _tiny_cull_config(occupancy_cull_proposals=True,
-                             occupancy_capacity_frac=1.0)
-  mesh = mesh_lib.create_mesh()
-  dataset = datasets.load_dataset('train', '', config)
-  rng = jax.random.PRNGKey(0)
-  model, state, _, train_pstep, _ = train_lib.setup_model(
-      config, rng, mesh=mesh, dataset=dataset)
-  cull_pstep = train_lib.create_train_step(model, config, mesh,
-                                           dataset=dataset, cull=True)
-  # Fully occupied grid: nothing may be culled.
-  params = dict(state.params)
-  params['occupancy'] = {
-      'grid': jnp.full_like(state.params['occupancy']['grid'], 1.0)}
-  host_state = jax.device_get(state.replace(params=params))
-  repl = mesh_lib.replicated(mesh)
-
-  batch = mesh_lib.shard_batch_to_global(mesh, next(dataset))
-  # The jitted steps donate (rng, state); give each call its own copies.
-  _, stats_full, _ = train_pstep(jax.random.PRNGKey(7),
-                                 jax.device_put(host_state, repl),
-                                 batch, 0.5, 1.0)
-  _, stats_cull, _ = cull_pstep(jax.random.PRNGKey(7),
-                                jax.device_put(host_state, repl),
-                                batch, 0.5, 1.0)
-
-  np.testing.assert_allclose(float(stats_cull['loss']),
-                             float(stats_full['loss']), rtol=1e-5)
-  np.testing.assert_allclose(float(stats_cull['occ_keep_frac']), 1.0)
-  for k in stats_full['grad_norms']:
-    np.testing.assert_allclose(float(stats_cull['grad_norms'][k]),
-                               float(stats_full['grad_norms'][k]),
-                               rtol=1e-4, atol=1e-6, err_msg=k)
-
-
-def test_prop_culling_trains_stably_with_sparse_grid():
-  """Prop-culled training through warmup -> engage stays finite and
-  improving with a half-occupied grid (real culling at every level), and
-  dead-ray resample logits never NaN."""
-  config = _tiny_cull_config(occupancy_cull_proposals=True,
-                             occupancy_capacity_frac=0.75)
-  mesh = mesh_lib.create_mesh()
-  dataset = datasets.load_dataset('train', '', config)
-  rng = jax.random.PRNGKey(0)
-  model, state, _, train_pstep, _ = train_lib.setup_model(
-      config, rng, mesh=mesh, dataset=dataset)
-  cull_pstep = train_lib.create_train_step(model, config, mesh,
-                                           dataset=dataset, cull=True)
-  refresh_fn = culling.make_refresh_fn(model, config, mesh)
-  state = jax.device_put(state, mesh_lib.replicated(mesh))
-
-  psnrs = []
-  for step, batch in zip(range(1, config.max_steps + 1), dataset):
-    gbatch = mesh_lib.shard_batch_to_global(mesh, batch)
-    train_frac = jnp.clip((step - 1) / (config.max_steps - 1), 0, 1)
-    fn = (cull_pstep if step > config.occupancy_warmup_steps
-          else train_pstep)
-    state, stats, rng = fn(rng, state, gbatch, train_frac, 1.0)
-    if step % 10 == 0:
-      grid = refresh_fn(state.params, jax.random.PRNGKey(step))
-      state = state.replace(
-          params={**state.params, 'occupancy': {'grid': grid}})
-    psnrs.append(float(stats['psnr']))
-  assert np.isfinite(psnrs).all()
-  w = config.occupancy_warmup_steps
-  assert np.mean(psnrs[-5:]) > np.mean(psnrs[w:w + 5]) - 1.0, psnrs
