@@ -217,13 +217,18 @@ def main(unused_argv):
 
     # Training summaries (host 0 logs; all hosts execute eval renders).
     if jax.process_index() == 0:
-      if scan_steps > 1:
-        # Unstack the scanned window into per-step stats entries.
-        for i in range(scan_steps):
-          stats_buffer.append(
-              jax.tree_util.tree_map(lambda x, i=i: x[i], stats))
-      else:
-        stats_buffer.append(stats)
+      # Scanned windows stay STACKED ([scan_steps, ...] leaves) and on
+      # device until print time: per-step unstacking here would issue one
+      # slice dispatch per leaf per step (~leaves*scan_steps tiny device
+      # ops per window), which dwarfs the step itself on a remote chip.
+      stats_buffer.append(stats)
+      # Kick off D2H for this window's stats now so the transfer rides
+      # along behind the already-dispatched next step; the print-time
+      # device_get then finds ~everything already on host instead of
+      # paying per-leaf round-trip latency for the whole buffer at once.
+      jax.tree_util.tree_map(
+          lambda x: x.copy_to_host_async()
+          if hasattr(x, 'copy_to_host_async') else None, stats)
 
       if step0 == init_step or step % config.print_every == 0:
         stats_buffer = jax.device_get(stats_buffer)
@@ -240,7 +245,12 @@ def main(unused_argv):
         import flax
         fs = [flax.traverse_util.flatten_dict(s, sep='/')
               for s in stats_buffer]
-        stats_stacked = {k: np.stack([f[k] for f in fs]) for k in fs[0]}
+        if scan_steps > 1:
+          # Each window already carries a leading step axis; join windows.
+          stats_stacked = {k: np.concatenate([np.asarray(f[k]) for f in fs])
+                           for k in fs[0]}
+        else:
+          stats_stacked = {k: np.stack([f[k] for f in fs]) for k in fs[0]}
 
         # Vector-valued stats become one stat per element.
         stats_split = {}
