@@ -255,6 +255,23 @@ def create_train_step(model, config, mesh, dataset=None, jit=True,
   final level through the occupancy-grid compaction; train.py compiles a
   cull=False variant for the grid-warmup phase and switches after.
   """
+  def _drop_unit_patch_dims(batch):
+    """Squeeze [P, 1, 1, ...] batch leaves to [P, ...].
+
+    Both data planes ship patch-shaped batches ([num_patches, ps, ps, c],
+    reference datasets.py:245-253 layout).  At patch_size=1 the two unit
+    axes carry no information but pin every per-sample tensor derived from
+    the ray batch to a T(1,128) tile on TPU — 1/8 sublane utilization for
+    the whole step; profiled on the 360 config this cost ~27 ms/step (the
+    resampling sort alone ran 8x slower than in flat layout).  Real
+    patches (ps > 1, e.g. RobustNeRF) pass through untouched.
+    """
+    def f(x):
+      if hasattr(x, 'ndim') and x.ndim >= 3 and x.shape[1:3] == (1, 1):
+        return x.reshape((x.shape[0],) + x.shape[3:])
+      return x
+    return jax.tree_util.tree_map(f, batch)
+
   if dataset is None:
     camtype = camera_lib.ProjectionType.PERSPECTIVE
     cameras = None
@@ -267,6 +284,7 @@ def create_train_step(model, config, mesh, dataset=None, jit=True,
         for x in dataset.cameras)
 
   def train_step(rng, state, batch, train_frac, loss_threshold):
+    batch = _drop_unit_patch_dims(batch)
     rng, key = jax.random.split(rng)
 
     def loss_fn(variables):
