@@ -158,11 +158,15 @@ class MLP(nn.Module):
   basis_shape: str = 'icosahedron'  # Basis polyhedron: octahedron/icosahedron.
   basis_subdivisions: int = 2  # Basis tesselation count.
   # Computation dtype for the trunk and view-branch hidden layers
-  # ('float32' or 'bfloat16').  On TPU the matmuls already run bf16-in/
-  # f32-accumulate at XLA's default precision either way; 'bfloat16'
-  # additionally stores the hidden activations (and their cotangents) in
-  # bf16, halving the HBM traffic of the wide trunk.  Heads (density, rgb,
-  # normals, bottleneck) always compute/store f32.
+  # ('float32', 'bfloat16', or 'int8').  On TPU the matmuls already run
+  # bf16-in/f32-accumulate at XLA's default precision either way;
+  # 'bfloat16' additionally stores the hidden activations (and their
+  # cotangents) in bf16, halving the HBM traffic of the wide trunk.
+  # 'int8' runs the hidden layers' matmuls (forward AND both gradient
+  # matmuls) through dynamically-quantized int8 on the 2x-rate int8 MXU
+  # path (ops/quant.py); params/checkpoints stay f32 and are
+  # interchangeable across all three modes.  Heads (density, rgb, normals,
+  # bottleneck) always compute/store f32.
   trunk_dtype: str = 'float32'
   # Fused featurize->first-matmul Pallas kernel (ops/pallas/featurize_dense):
   # None = auto (on for TPU in every eligible config: density normals
@@ -250,11 +254,17 @@ class MLP(nn.Module):
     dense = lambda features: nn.Dense(
         features, kernel_init=kernel_init, name=f'Dense_{next(_dense_ids)}')
     # Hidden trunk/view-branch layers honor trunk_dtype; param storage (and
-    # therefore checkpoints and the optimizer) stays f32 in either mode.
-    hidden_dtype = jnp.dtype(self.trunk_dtype)
-    dense_hidden = lambda features: nn.Dense(
-        features, kernel_init=kernel_init, dtype=hidden_dtype,
-        name=f'Dense_{next(_dense_ids)}')
+    # therefore checkpoints and the optimizer) stays f32 in every mode.
+    if self.trunk_dtype == 'int8':
+      from multinerf_tpu.ops import quant
+      dense_hidden = lambda features: quant.QuantDense(
+          features, kernel_init=kernel_init,
+          name=f'Dense_{next(_dense_ids)}')
+    else:
+      hidden_dtype = jnp.dtype(self.trunk_dtype)
+      dense_hidden = lambda features: nn.Dense(
+          features, kernel_init=kernel_init, dtype=hidden_dtype,
+          name=f'Dense_{next(_dense_ids)}')
 
     density_key, rng = random_split(rng)
 
