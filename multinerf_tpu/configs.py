@@ -104,6 +104,13 @@ class Config:
   occupancy_grid_resolution: int = 64  # Grid cells per axis over [-2, 2]^3.
   occupancy_grid_decay: float = 0.97  # EMA-max decay per update.
   occupancy_threshold: float = 5e-3  # Density below this = empty cell.
+  # Keep rule: 'density' (occ > occupancy_threshold) or 'alpha' (keep iff
+  # the sample's interval could contribute > occupancy_alpha_eps of alpha:
+  # occ * world_interval_length > -log1p(-eps) — a per-sample bound that
+  # prices wide far-field intervals and narrow near-field intervals
+  # consistently; see culling.keep_mask).
+  occupancy_keep_rule: str = 'density'
+  occupancy_alpha_eps: float = 1e-3
   occupancy_capacity_frac: float = 0.5  # Compact buffer / full batch size.
   # Optional capacity LADDER: compile one culled step per capacity and let
   # the self-gate pick the smallest capacity that fits the measured keep

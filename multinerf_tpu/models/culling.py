@@ -57,6 +57,47 @@ def lookup(grid, means, resolution: int):
   return grid[cell_ids(means, resolution)]
 
 
+def keep_mask(occ, config, t_edges=None, dirs=None):
+  """Per-sample keep decision from looked-up cell occupancies.
+
+  Two rules (``Config.occupancy_keep_rule``):
+
+  * ``'density'``: occ > occupancy_threshold.  A single global density
+    threshold — simple, but mis-calibrated for unbounded scenes: in the
+    contraction domain one far-shell cell spans a huge world volume, so a
+    fixed density cut prices a meter of near content the same as a
+    kilometer of background.
+  * ``'alpha'``: keep iff the sample's own interval could contribute more
+    than ``occupancy_alpha_eps`` of alpha:  1 - exp(-occ * delta) > eps,
+    i.e. occ * delta > -log1p(-eps), with delta the interval's world-space
+    length (same delta as rendering.compute_alpha_weights:110-112).  This
+    is the principled per-sample bound: occ is the cell's EMA-max density,
+    an overestimate of the sample's density, so a skipped sample's true
+    alpha is < eps — each skip perturbs the composited color by less than
+    eps (times transmittance).  Wide far-field intervals automatically get
+    a proportionally lower density cut; narrow near-field intervals a
+    higher one, which is what lowers keep fractions on dense scenes.
+
+  Args:
+    occ: [..., S] looked-up cell occupancy densities.
+    config: Config (occupancy_keep_rule / threshold / alpha_eps).
+    t_edges: [..., S+1] interval edges in ray-t units ('alpha' rule only).
+    dirs: [..., 3] UNNORMALIZED ray directions ('alpha' rule only).
+
+  Returns:
+    [..., S] bool keep mask.
+  """
+  if config.occupancy_keep_rule == 'alpha':
+    t_delta = t_edges[..., 1:] - t_edges[..., :-1]
+    delta = t_delta * jnp.linalg.norm(dirs[..., None, :], axis=-1)
+    return occ * delta > -np.log1p(-config.occupancy_alpha_eps)
+  if config.occupancy_keep_rule != 'density':
+    raise ValueError(
+        f'Unknown occupancy_keep_rule {config.occupancy_keep_rule!r}; '
+        "expected 'density' or 'alpha'.")
+  return occ > config.occupancy_threshold
+
+
 def update_grid(grid, cells, densities, decay: float):
   """EMA-max occupancy update from a batch of evaluated samples.
 

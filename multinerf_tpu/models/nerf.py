@@ -214,7 +214,8 @@ class Model(nn.Module):
         # MORE than the matmuls they skip (profiled; docs/DESIGN.md).
         cells = culling.cell_ids(gaussians[0], grid_res)
         occ = occupancy_grid.value[cells]
-        keep = occ > self.config.occupancy_threshold
+        keep = culling.keep_mask(occ, self.config, t_edges=t_edges,
+                                 dirs=rays.directions)
         if self.opaque_background:
           # The terminal interval's alpha is forced to 1 regardless of its
           # density (rendering.compute_alpha_weights), so a culled last
@@ -257,7 +258,8 @@ class Model(nn.Module):
           # samples and bias the learned field.
           occ = culling.lookup(occupancy_grid.value, gaussians[0], grid_res)
           ray_results['occ_keep_frac'] = jnp.mean(
-              (occ > self.config.occupancy_threshold).astype(jnp.float32))
+              culling.keep_mask(occ, self.config, t_edges=t_edges,
+                                dirs=rays.directions).astype(jnp.float32))
 
       hist_weights = rendering.compute_alpha_weights(
           ray_results['density'], t_edges, rays.directions,

@@ -16,7 +16,11 @@ REPO=$(cd "$(dirname "$0")/.." && pwd)
 mkdir -p "$CKPT"
 
 run_train() {
-  PYTHONPATH="$REPO:${PYTHONPATH:-}" python "$REPO/train.py" \
+  # exec: the function body REPLACES its (sub)shell, so backgrounding
+  # run_train makes $! the python PID itself.  Without it, phase 1's kill
+  # hits only the wrapper subshell and the trainer keeps running —
+  # overlapping phase 2 on the chip and interleaving checkpoints.
+  PYTHONPATH="$REPO:${PYTHONPATH:-}" exec python "$REPO/train.py" \
     --gin_configs="$REPO/configs/360.gin" \
     --gin_bindings="Config.dataset_loader='dummy_unbounded'" \
     --gin_bindings="Config.data_dir=''" \
@@ -54,7 +58,8 @@ while true; do
 done
 
 # Phase 2: identical command; must resume from the 10k checkpoint.
-run_train > "$CKPT/train_phase2.log" 2>&1
+# (Subshell: run_train execs, and the script must survive phase 2.)
+( run_train > "$CKPT/train_phase2.log" 2>&1 )
 echo "phase 2 rc=$?"
 
 # Final full-test-set eval through eval.py (writes metric_*_25000.txt).

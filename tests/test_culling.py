@@ -348,3 +348,69 @@ def test_gather_rows_vjp_matches_autodiff_scatter():
                              np.array(g_auto[:cap]), rtol=1e-6, atol=1e-6)
   np.testing.assert_array_equal(np.array(g_custom[cap]), 0.0)
 
+
+
+def test_keep_mask_density_rule_matches_threshold():
+  config = configs_lib.Config(occupancy_threshold=0.5)
+  occ = jnp.array([[0.0, 0.4, 0.6, 2.0]])
+  got = culling.keep_mask(occ, config)
+  np.testing.assert_array_equal(np.array(got), [[False, False, True, True]])
+
+
+def test_keep_mask_alpha_rule_prices_interval_width():
+  """The alpha rule keeps a low density over a WIDE interval (real far-field
+  content) and culls the same density over a NARROW one (negligible alpha);
+  the density rule cannot distinguish the two."""
+  eps = 1e-3
+  config = configs_lib.Config(occupancy_keep_rule='alpha',
+                              occupancy_alpha_eps=eps)
+  occ = jnp.full((1, 2), 1e-3)  # Same density in both samples.
+  # Sample 0: width 0.1 -> alpha ~ 1e-4 < eps.  Sample 1: width 100 ->
+  # alpha ~ 0.095 > eps.
+  t_edges = jnp.array([[1.0, 1.1, 101.1]])
+  dirs = jnp.array([[0.0, 0.0, 1.0]])
+  got = culling.keep_mask(occ, config, t_edges=t_edges, dirs=dirs)
+  np.testing.assert_array_equal(np.array(got), [[False, True]])
+  # Exact boundary: occ * delta == -log1p(-eps) is NOT kept (strict >).
+  occ_b = jnp.array([[-np.log1p(-eps) / 0.1, -np.log1p(-eps) / 100.0]])
+  got_b = culling.keep_mask(occ_b * (1 + 1e-6), config, t_edges=t_edges,
+                            dirs=dirs)
+  assert np.array(got_b).all()
+  # Direction norm scales the world-space interval length.
+  got_scaled = culling.keep_mask(
+      occ, config, t_edges=t_edges, dirs=dirs * 50.0)
+  np.testing.assert_array_equal(np.array(got_scaled), [[True, True]])
+
+
+def test_keep_mask_unknown_rule_raises():
+  config = configs_lib.Config(occupancy_keep_rule='nope')
+  with pytest.raises(ValueError, match='occupancy_keep_rule'):
+    culling.keep_mask(jnp.zeros((1, 2)), config)
+
+
+def test_render_alpha_rule_culling_matches_render_without():
+  """Saturated grid + alpha rule + full capacity: culled render == direct
+  (every interval clears the eps bound, so the compaction is again a pure
+  mechanism)."""
+  config = _tiny_cull_config(occupancy_capacity_frac=1.0,
+                             occupancy_keep_rule='alpha')
+  mesh = mesh_lib.create_mesh()
+  dataset = datasets.load_dataset('test', '', config)
+  rng = jax.random.PRNGKey(0)
+  model, state, _, _, _ = train_lib.setup_model(
+      config, rng, mesh=mesh, dataset=dataset)
+  render_cull_pfn = train_lib.create_render_fn(model, mesh, cull=True)
+  params = dict(state.params)
+  params['occupancy'] = {
+      'grid': jnp.full_like(params['occupancy']['grid'], 1e3)}
+  render_full_pfn = train_lib.create_render_fn(model, mesh, cull=False)
+
+  test_case = next(dataset)
+  out_cull = models.render_image(
+      functools.partial(render_cull_pfn, params, 1.0),
+      test_case.rays, None, config, verbose=False)
+  out_full = models.render_image(
+      functools.partial(render_full_pfn, params, 1.0),
+      test_case.rays, None, config, verbose=False)
+  np.testing.assert_allclose(out_cull['rgb'], out_full['rgb'],
+                             rtol=1e-4, atol=1e-5)
