@@ -60,7 +60,7 @@ BINDINGS = BASE_BINDINGS + DEBUG_WIDTHS  # Overridden by --flagship in main.
 
 
 def run(steps, capacity, eval_every, batch_size, loader='dummy_sphere',
-        near=2.0, far=6.0):
+        near=2.0, far=6.0, keep_rule='density', alpha_eps=1e-3):
   """Train once; capacity=None disables culling.  Returns the PSNR curve."""
   from multinerf_tpu import configs as configs_lib
   from multinerf_tpu import ginlite
@@ -84,7 +84,9 @@ def run(steps, capacity, eval_every, batch_size, loader='dummy_sphere',
       lr_init=2e-3, lr_final=2e-5, lr_delay_steps=512, lr_delay_mult=0.01)
   if capacity is not None:
     kwargs.update(occupancy_culling=True, occupancy_capacity_frac=capacity,
-                  occupancy_warmup_steps=max(1, steps // 8))
+                  occupancy_warmup_steps=max(1, steps // 8),
+                  occupancy_keep_rule=keep_rule,
+                  occupancy_alpha_eps=alpha_eps)
   config = configs_lib.Config(**kwargs)
   mesh = mesh_lib.create_mesh()
   dataset = datasets.load_dataset('train', '', config)
@@ -165,7 +167,12 @@ def main():
   p.add_argument('--flagship', action='store_true',
                  help='Real 360.gin widths (PropMLP 4x256, NerfMLP 8x1024).')
   p.add_argument('--trunk_dtype', type=str, default='float32',
-                 choices=['float32', 'bfloat16'])
+                 choices=['float32', 'bfloat16', 'int8'])
+  p.add_argument('--keep_rule', type=str, default='density',
+                 choices=['density', 'alpha'],
+                 help='Culling keep rule (Config.occupancy_keep_rule).')
+  p.add_argument('--alpha_eps', type=float, default=1e-3,
+                 help="Per-sample alpha bound for --keep_rule alpha.")
   p.add_argument('--tag', type=str, default='',
                  help='Extra output-filename tag (e.g. the trunk dtype).')
   p.add_argument('--skip_full', action='store_true',
@@ -182,8 +189,10 @@ def main():
 
   results = {'steps': args.steps, 'batch': args.batch, 'loader': args.loader,
              'flagship': args.flagship, 'trunk_dtype': args.trunk_dtype,
+             'keep_rule': args.keep_rule, 'alpha_eps': args.alpha_eps,
              'runs': {}}
-  kw = dict(loader=args.loader, near=args.near, far=args.far)
+  kw = dict(loader=args.loader, near=args.near, far=args.far,
+            keep_rule=args.keep_rule, alpha_eps=args.alpha_eps)
   if not args.skip_full:
     results['runs']['full'] = run(args.steps, None, args.eval_every,
                                   args.batch, **kw)
