@@ -326,7 +326,34 @@ class MLP(nn.Module):
           raw_density += self.density_noise * jax.random.normal(
               density_key, raw_density.shape)
         return raw_density, None
-      if use_fused_feat:
+      if use_fused_feat and self.trunk_dtype == 'int8' and (
+          self.net_activation is nn.relu):
+        # Fully-fused int8 trunk: featurize + every trunk layer in ONE
+        # Pallas kernel, hidden dots on the 2x-rate int8 MXU path,
+        # quant/dequant in registers (ops/pallas/int8_trunk.py).  Params
+        # are declared with nn.Dense's exact tree under the same names, so
+        # checkpoints stay interchangeable across f32/bf16/int8 trunks.
+        from multinerf_tpu.ops.pallas import int8_trunk as i8t
+        num_feats = 2 * (self.max_deg_point - self.min_deg_point) * (
+            self.pos_basis_t.shape[-1])
+        skip_ids = [i for i in range(1, self.net_depth)
+                    if (i - 1) % self.skip_layer == 0 and (i - 1) > 0]
+        ws, bs_ = [], []
+        for i in range(self.net_depth):
+          rows = num_feats if i == 0 else (
+              self.net_width + num_feats if i in skip_ids
+              else self.net_width)
+          w, b = _DenseParams(features=self.net_width, in_features=rows,
+                              kernel_init=kernel_init,
+                              name=f'Dense_{next(_dense_ids)}')()
+          ws.append(w)
+          bs_.append(b)
+        x = i8t.int8_trunk(
+            means, covs, ws, bs_, self.pos_basis_t,
+            min_deg=self.min_deg_point, max_deg=self.max_deg_point,
+            use_contract=self.warp_fn is coord.contract,
+            skip_layers=skip_ids, interpret=fused_kw['interpret'])
+      elif use_fused_feat:
         # Features live only in VMEM: the first layer and every skip-point
         # layer recompute+contract them in one Pallas kernel each.
         x = _FusedIPEDense(features=self.net_width,
