@@ -75,6 +75,9 @@ class Config:
   data_dir: Optional[str] = None  # Input data directory.
   vocab_tree_path: Optional[str] = None  # COLMAP vocab tree path.
   render_chunk_size: int = 16384  # Chunk size for whole-image renders.
+  # NEW: single-process whole-image renders run as ONE dispatch (lax.scan
+  # over stacked chunks) instead of a host loop; False restores the loop.
+  render_scan_chunks: bool = True
   num_showcase_images: int = 5  # Test-set images to showcase in TB.
   deterministic_showcase: bool = True  # Showcase the same images every eval.
   vis_num_rays: int = 16  # Rays to visualize as strip charts.

@@ -345,6 +345,68 @@ def construct_model(rng, rays, config):
   return model, init_variables
 
 
+def _keep_chunk_outputs(renderings, config):
+  """Final-level image buffers + every level's capped ray vis bundles."""
+  out = dict(renderings[-1])
+  for k in renderings[0]:
+    if k.startswith('ray_'):
+      out[k] = [r[k][:config.vis_num_rays] for r in renderings]
+  return out
+
+
+def _subsample_ray_bundles(rendering, config):
+  """Deterministically cut concatenated per-chunk bundles to one bundle."""
+  keys = [k for k in rendering if k.startswith('ray_')]
+  if keys:
+    num_bundle_rays = rendering[keys[0]][0].shape[0]
+    ray_idx = jax.random.permutation(jax.random.PRNGKey(0), num_bundle_rays)
+    ray_idx = ray_idx[:config.vis_num_rays]
+    for k in keys:
+      rendering[k] = [r[ray_idx] for r in rendering[k]]
+  return rendering
+
+
+def _render_image_scanned(render_fn, rays, rng, config, height, width):
+  """Whole-image render as ONE dispatch: lax.scan over stacked ray chunks.
+
+  The per-chunk Python loop costs a host dispatch per chunk (and, on a
+  remotely-attached TPU, a round trip); scanning the jitted chunk renderer
+  over a [num_chunks, chunk, ...] stack compiles once per image shape and
+  leaves the host out of the inner loop entirely.  Single-process only —
+  the multi-process path needs per-chunk global-array assembly.
+  """
+  num_rays = height * width
+  n_dev = jax.device_count()
+  # Chunks must be device-divisible for even sharding, and never render
+  # more padding than one device-multiple past the image.
+  chunk = min(config.render_chunk_size, -(-num_rays // n_dev) * n_dev)
+  chunk = max(n_dev, chunk // n_dev * n_dev)
+  num_chunks = -(-num_rays // chunk)
+  padding = num_chunks * chunk - num_rays
+  if padding:
+    rays = jax.tree_util.tree_map(
+        lambda r: jnp.pad(r, ((0, padding), (0, 0)), mode='edge'), rays)
+  stacked = jax.tree_util.tree_map(
+      lambda r: r.reshape((num_chunks, chunk) + r.shape[1:]), rays)
+
+  def body(carry, chunk_rays):
+    renderings, _ = render_fn(rng, chunk_rays)
+    return carry, _keep_chunk_outputs(renderings, config)
+
+  _, outs = jax.lax.scan(body, None, stacked)
+
+  rendering = {}
+  for k, z in outs.items():
+    if k.startswith('ray_'):
+      # [num_chunks, vis, ...] per level -> concatenated over chunks.
+      rendering[k] = [r.reshape((-1,) + r.shape[2:]) for r in z]
+    else:
+      flat = z.reshape((num_chunks * chunk,) + z.shape[2:])[:num_rays]
+      rendering[k] = flat.reshape((height, width) + flat.shape[1:])
+  rendering = _subsample_ray_bundles(rendering, config)
+  return jax.device_get(rendering)
+
+
 def render_image(render_fn, rays: types.Rays, rng, config,
                  verbose: bool = True, mesh=None):
   """Render all pixels of an image by driving a jitted chunk renderer.
@@ -354,7 +416,7 @@ def render_image(render_fn, rays: types.Rays, rng, config,
       operating on global arrays sharded over the mesh's data axis.
     rays: [H, W, ...] Rays pytree for the full image.
     rng: rng or None.
-    config: Config (render_chunk_size, vis_num_rays).
+    config: Config (render_chunk_size, vis_num_rays, render_scan_chunks).
     verbose: print progress.
     mesh: required under multi-process JAX — each process passes the full
       image rays and chunks are assembled into global arrays
@@ -370,6 +432,9 @@ def render_image(render_fn, rays: types.Rays, rng, config,
   multiprocess = jax.process_count() > 1
   if multiprocess and mesh is None:
     raise ValueError('render_image requires `mesh` under multi-process JAX.')
+
+  if not multiprocess and config.render_scan_chunks:
+    return _render_image_scanned(render_fn, rays, rng, config, height, width)
 
   # Chunks must be divisible by the device count for even sharding.
   chunk_size = config.render_chunk_size
@@ -414,12 +479,7 @@ def render_image(render_fn, rays: types.Rays, rng, config,
     # Keep the final level's image buffers and every level's ray bundles.
     # Bundles are vis-only: cap them at vis_num_rays per chunk on device so
     # a full-resolution render doesn't hold [num_rays, samples] histograms.
-    chunk_rendering = chunk_renderings[-1]
-    for k in chunk_renderings[0]:
-      if k.startswith('ray_'):
-        chunk_rendering[k] = [r[k][:config.vis_num_rays]
-                              for r in chunk_renderings]
-    chunks.append(chunk_rendering)
+    chunks.append(_keep_chunk_outputs(chunk_renderings, config))
 
   rendering = jax.tree_util.tree_map(
       lambda *args: jnp.concatenate(args), *chunks)
@@ -427,15 +487,7 @@ def render_image(render_fn, rays: types.Rays, rng, config,
     if not k.startswith('ray_'):
       rendering[k] = z.reshape((height, width) + z.shape[1:])
 
-  # Deterministically subsample the concatenated ray bundles back down to
-  # one bundle's size.
-  keys = [k for k in rendering if k.startswith('ray_')]
-  if keys:
-    num_bundle_rays = rendering[keys[0]][0].shape[0]
-    ray_idx = jax.random.permutation(jax.random.PRNGKey(0), num_bundle_rays)
-    ray_idx = ray_idx[:config.vis_num_rays]
-    for k in keys:
-      rendering[k] = [r[ray_idx] for r in rendering[k]]
+  rendering = _subsample_ray_bundles(rendering, config)
 
   # ONE host transfer for the whole image.
   rendering = jax.device_get(rendering)

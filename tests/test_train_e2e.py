@@ -104,6 +104,44 @@ def test_render_image_full_pipeline():
   assert len(rendering['ray_sdist']) == 2
 
 
+def test_render_image_scanned_matches_loop():
+  """The single-dispatch lax.scan render must equal the chunk loop exactly
+  (same jitted chunk renderer, same chunking; dummy 16x16 image with
+  render_chunk_size=96 exercises num_chunks=3 + 32 rays of padding)."""
+  config = tiny_config(render_chunk_size=96)
+  mesh = mesh_lib.create_mesh()
+  dataset = datasets.load_dataset('test', '', config)
+
+  rng = jax.random.PRNGKey(0)
+  _, state, render_eval_pfn, _, _ = train_lib.setup_model(
+      config, rng, mesh=mesh, dataset=dataset)
+
+  import functools
+  test_case = next(dataset)
+  render = functools.partial(
+      models.render_image, functools.partial(render_eval_pfn, state.params,
+                                             1.0),
+      test_case.rays, None, verbose=False)
+  scanned = render(config)
+  looped = render(dataclasses.replace(config, render_scan_chunks=False))
+
+  assert set(scanned) == set(looped)
+  for k in looped:
+    if k.startswith('ray_'):
+      # Same levels; both paths share chunk boundaries and the bundle
+      # subsample permutation.
+      assert len(scanned[k]) == len(looped[k])
+      for a, b in zip(scanned[k], looped[k]):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=2e-3, atol=1e-5, err_msg=k)
+    else:
+      # XLA fuses the chunk program differently inside lax.scan than as a
+      # standalone dispatch; normalization-heavy outputs (normals) wobble
+      # at the few-ulp level. Identical math, not identical fusion.
+      np.testing.assert_allclose(np.array(scanned[k]), np.array(looped[k]),
+                                 rtol=2e-3, atol=1e-5, err_msg=k)
+
+
 def test_cast_rays_in_train_step_path():
   """The compact Pixels path must agree with host-side ray casting."""
   config = tiny_config(cast_rays_in_train_step=True)
