@@ -74,6 +74,10 @@ def main(unused_argv):
         os.path.join(config.checkpoint_dir, 'eval'))
   while True:
     state = ckpt.restore_latest(state)
+    # Restored arrays land on one device; lay the state out on the mesh
+    # (the scanned render closes over params, so they must already live
+    # on the same device set as the jitted chunk renderer).
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
     step = int(state.step)
     if step <= last_step:
       print(f'Checkpoint step {step} <= last step {last_step}, sleeping.')

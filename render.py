@@ -100,6 +100,8 @@ def main(unused_argv):
 
   ckpt = ckpt_lib.CheckpointManager(config.checkpoint_dir, keep=100)
   state = ckpt.restore_latest(state)
+  # Mesh layout: the scanned render closes over params as constants.
+  state = jax.device_put(state, mesh_lib.replicated(mesh))
   step = int(state.step)
   print(f'Rendering checkpoint at step {step}.')
 

@@ -72,6 +72,7 @@ def run_arm(trunk_dtype, args):
   if args.checkpoint_dir:
     ckpt = ckpt_lib.CheckpointManager(args.checkpoint_dir, keep=100)
     state = ckpt.restore_latest(state)
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
     step = ckpt.latest_step()
   else:
     step = 0
