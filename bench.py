@@ -70,8 +70,8 @@ def build(config_overrides, gin_overrides, cull=False):
 
   mesh = mesh_lib.create_mesh()
   rng = jax.random.PRNGKey(0)
-  model, state, _, train_pstep, _ = train_lib.setup_model(config, rng,
-                                                          mesh=mesh)
+  model, state, render_pfn, train_pstep, _ = train_lib.setup_model(
+      config, rng, mesh=mesh)
   if cull:
     train_pstep = train_lib.create_train_step(model, config, mesh, cull=True)
   state = jax.device_put(state, mesh_lib.replicated(mesh))
@@ -102,7 +102,7 @@ def build(config_overrides, gin_overrides, cull=False):
   batch = types.Batch(rays=rays,
                       rgb=rs.rand(BATCH_SIZE, 3).astype(np.float32))
   batch = mesh_lib.shard_batch_to_global(mesh, batch)
-  return state, train_pstep, batch
+  return state, train_pstep, batch, (render_pfn, config)
 
 
 def time_variant(state, train_pstep, batch, windows=2):
@@ -126,6 +126,50 @@ def time_variant(state, train_pstep, batch, windows=2):
     dt = time.perf_counter() - t0
     best = max(best, BATCH_SIZE * TIMED_STEPS / dt)
   return best
+
+
+def time_render(state, render_ctx, frames=8):
+  """Eval/render-surface throughput: sec/frame on a synthetic 64x64 image.
+
+  Drives the production path (models.render_image over the jitted eval
+  render fn — the single-dispatch scanned-chunk version) with fetch=False
+  and syncs ONCE off a chained scalar, so the number is on-chip render
+  time, not host-link round trips.
+  """
+  import functools
+  from multinerf_tpu.data import types
+  from multinerf_tpu.models import nerf as models
+
+  render_pfn, config = render_ctx
+  rs = np.random.RandomState(2)
+  h = w = 64
+  n = h * w
+  d = rs.randn(n, 3).astype(np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  rays = types.Rays(
+      origins=(rs.randn(n, 3).astype(np.float32) * 0.1).reshape(h, w, 3),
+      directions=d.reshape(h, w, 3),
+      viewdirs=d.reshape(h, w, 3),
+      radii=np.full((h, w, 1), 1e-3, np.float32),
+      imageplane=np.zeros((h, w, 2), np.float32),
+      lossmult=np.ones((h, w, 1), np.float32),
+      near=np.full((h, w, 1), 0.2, np.float32),
+      far=np.full((h, w, 1), 1e6, np.float32),
+      cam_idx=np.zeros((h, w, 1), np.int32),
+  )
+
+  def render_once():
+    rendering = models.render_image(
+        functools.partial(render_pfn, state.params, 1.0), rays, None,
+        config, verbose=False, fetch=False)
+    return jnp.mean(rendering['rgb'])
+
+  float(render_once())  # Compile + sync.
+  t0 = time.perf_counter()
+  acc = [render_once() for _ in range(frames)]
+  float(jnp.stack(acc).sum())  # Single sync point.
+  sec = (time.perf_counter() - t0) / frames
+  return sec, h * w / sec
 
 
 def time_reference_impl():
@@ -166,12 +210,12 @@ def main():
   # Optimized uncull path: analytic contraction Jacobian, recurrence IPE,
   # fused featurize+matmul / fully-fused density-MLP Pallas kernels, bf16
   # trunk (all equivalence-tested; same algorithm as the reference).
-  state, step_fn, batch = build({}, BF16)
+  state, step_fn, batch, render_ctx = build({}, BF16)
   rays_per_sec = time_variant(state, step_fn, batch)
 
   # Identical-numerics variant (f32 trunk activations, like the
   # reference): isolates the bf16-storage choice from the architecture.
-  state_f, step_fn_f, batch_f = build({}, [])
+  state_f, step_fn_f, batch_f, _ = build({}, [])
   uncull_f32_rays_per_sec = time_variant(state_f, step_fn_f, batch_f)
 
   # Occupancy-culled CAPACITY LADDER (models/culling.py): same model, the
@@ -187,7 +231,7 @@ def main():
   # the uncull numbers above.
   ladder = {}
   for cap in (0.33, 0.5, 0.67):
-    state_c, step_c, batch_c = build(
+    state_c, step_c, batch_c, _ = build(
         {'occupancy_culling': True, 'occupancy_capacity_frac': cap},
         BF16, cull=True)
     ladder[cap] = time_variant(state_c, step_c, batch_c)
@@ -202,10 +246,13 @@ def main():
   import os
   os.environ['MULTINERF_REFERENCE_ALGOS'] = '1'
   try:
-    state_b, step_fn_b, batch_b = build({}, [])
+    state_b, step_fn_b, batch_b, _ = build({}, [])
     ref_algo_rays_per_sec = time_variant(state_b, step_fn_b, batch_b)
   finally:
     del os.environ['MULTINERF_REFERENCE_ALGOS']
+
+  # Eval/render surface (bf16 trunk, scanned single-dispatch render).
+  render_sec_per_frame, render_rays_per_sec = time_render(state, render_ctx)
 
   # Reference-implementation path: the reference's own pmap step, imported
   # from the read-only checkout and executed on the same chip.
@@ -242,6 +289,12 @@ def main():
       'vs_baseline_uncull_f32': round(uncull_f32_rays_per_sec / denom, 3),
       'vs_reference_algos_uncull_f32': round(
           uncull_f32_rays_per_sec / ref_algo_rays_per_sec, 3),
+      # Eval/render surface (models.render_image, 64x64 frame, bf16 trunk,
+      # single-dispatch scanned chunks; reference has no render benchmark
+      # — its eval.py only logs per-image wall seconds, eval.py:115-116).
+      'render_sec_per_frame_64x64': round(render_sec_per_frame, 4),
+      'render_rays_per_sec_per_chip': round(
+          render_rays_per_sec / n_chips, 1),
   }
   if ref_impl_rays_per_sec is not None:
     result['vs_reference_impl'] = round(

@@ -366,7 +366,8 @@ def _subsample_ray_bundles(rendering, config):
   return rendering
 
 
-def _render_image_scanned(render_fn, rays, rng, config, height, width):
+def _render_image_scanned(render_fn, rays, rng, config, height, width,
+                          fetch=True):
   """Whole-image render as ONE dispatch: lax.scan over stacked ray chunks.
 
   The per-chunk Python loop costs a host dispatch per chunk (and, on a
@@ -404,11 +405,11 @@ def _render_image_scanned(render_fn, rays, rng, config, height, width):
       flat = z.reshape((num_chunks * chunk,) + z.shape[2:])[:num_rays]
       rendering[k] = flat.reshape((height, width) + flat.shape[1:])
   rendering = _subsample_ray_bundles(rendering, config)
-  return jax.device_get(rendering)
+  return jax.device_get(rendering) if fetch else rendering
 
 
 def render_image(render_fn, rays: types.Rays, rng, config,
-                 verbose: bool = True, mesh=None):
+                 verbose: bool = True, mesh=None, fetch: bool = True):
   """Render all pixels of an image by driving a jitted chunk renderer.
 
   Args:
@@ -421,6 +422,9 @@ def render_image(render_fn, rays: types.Rays, rng, config,
     mesh: required under multi-process JAX — each process passes the full
       image rays and chunks are assembled into global arrays
       (every process must call this; results are addressable on all).
+    fetch: transfer the result to host (the production default).  False
+      returns device arrays — benchmarks chain a scalar off them so a
+      slow host link doesn't masquerade as render time.
 
   Returns:
     dict of [H, W, c] image buffers plus 'ray_' visualization bundles.
@@ -434,7 +438,8 @@ def render_image(render_fn, rays: types.Rays, rng, config,
     raise ValueError('render_image requires `mesh` under multi-process JAX.')
 
   if not multiprocess and config.render_scan_chunks:
-    return _render_image_scanned(render_fn, rays, rng, config, height, width)
+    return _render_image_scanned(render_fn, rays, rng, config, height,
+                                 width, fetch=fetch)
 
   # Chunks must be divisible by the device count for even sharding.
   chunk_size = config.render_chunk_size
@@ -490,6 +495,7 @@ def render_image(render_fn, rays: types.Rays, rng, config,
   rendering = _subsample_ray_bundles(rendering, config)
 
   # ONE host transfer for the whole image.
-  rendering = jax.device_get(rendering)
+  if fetch:
+    rendering = jax.device_get(rendering)
 
   return rendering

@@ -86,7 +86,7 @@ def run_arm(trunk_dtype, args):
   def render_mse(case, gt):
     rendering = models.render_image(
         functools.partial(render_pfn, state.params, 1.0),
-        case.rays, None, config, verbose=False)
+        case.rays, None, config, verbose=False, fetch=False)
     return jnp.mean((rendering['rgb'] - gt) ** 2)  # Device scalar.
 
   # Warmup/compile frame (also syncs the tunnel).
