@@ -211,6 +211,10 @@ def main():
   # fused featurize+matmul / fully-fused density-MLP Pallas kernels, bf16
   # trunk (all equivalence-tested; same algorithm as the reference).
   state, step_fn, batch, render_ctx = build({}, BF16)
+  # Render BEFORE the train timing: the jitted step donates (rng, state)
+  # (train_lib.py donate_argnums), so time_variant's first call deletes
+  # this state's buffers on backends that honor donation.
+  render_sec_per_frame, render_rays_per_sec = time_render(state, render_ctx)
   rays_per_sec = time_variant(state, step_fn, batch)
 
   # Identical-numerics variant (f32 trunk activations, like the
@@ -250,9 +254,6 @@ def main():
     ref_algo_rays_per_sec = time_variant(state_b, step_fn_b, batch_b)
   finally:
     del os.environ['MULTINERF_REFERENCE_ALGOS']
-
-  # Eval/render surface (bf16 trunk, scanned single-dispatch render).
-  render_sec_per_frame, render_rays_per_sec = time_render(state, render_ctx)
 
   # Reference-implementation path: the reference's own pmap step, imported
   # from the read-only checkout and executed on the same chip.

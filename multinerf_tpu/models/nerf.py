@@ -396,11 +396,21 @@ def _render_image_scanned(render_fn, rays, rng, config, height, width,
 
   _, outs = jax.lax.scan(body, None, stacked)
 
+  # The last chunk's real ray count: its vis bundle must not include the
+  # edge-padded duplicate rays (the loop path strips padding before
+  # capping bundles; match that when padding eats into vis_num_rays).
+  last_real = min(config.vis_num_rays, chunk - padding)
+
+  def _cat_bundles(r):
+    # [num_chunks, vis, ...] -> concatenated over chunks, padded rows of
+    # the final chunk dropped.
+    head = r[:-1].reshape((-1,) + r.shape[2:])
+    return jnp.concatenate([head, r[-1][:last_real]], axis=0)
+
   rendering = {}
   for k, z in outs.items():
     if k.startswith('ray_'):
-      # [num_chunks, vis, ...] per level -> concatenated over chunks.
-      rendering[k] = [r.reshape((-1,) + r.shape[2:]) for r in z]
+      rendering[k] = [_cat_bundles(r) for r in z]
     else:
       flat = z.reshape((num_chunks * chunk,) + z.shape[2:])[:num_rays]
       rendering[k] = flat.reshape((height, width) + flat.shape[1:])

@@ -32,17 +32,11 @@ import numpy as np
 from multinerf_tpu.utils import cache as _cache
 _cache.enable_persistent_compilation_cache()
 
-FLAGSHIP = [
-    'Model.raydist_fn = @jnp.reciprocal',
-    'Model.opaque_background = True',
-    'PropMLP.warp_fn = @coord.contract',
-    'PropMLP.disable_density_normals = True',
-    'PropMLP.disable_rgb = True',
-    'PropMLP.net_depth = 4', 'PropMLP.net_width = 256',
-    'NerfMLP.warp_fn = @coord.contract',
-    'NerfMLP.disable_density_normals = True',
-    'NerfMLP.net_depth = 8', 'NerfMLP.net_width = 1024',
-]
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# The real flagship architecture comes from configs/360.gin (pinned, not
+# re-stated, so the bench can't drift from the shipped config); the
+# Config() kwargs below override its llff data fields for the dummy scene.
+FLAGSHIP_GIN = os.path.join(REPO, 'configs', '360.gin')
 
 
 def run_arm(trunk_dtype, args):
@@ -55,11 +49,11 @@ def run_arm(trunk_dtype, args):
   from multinerf_tpu.utils import checkpoints as ckpt_lib
 
   ginlite.clear_config()
-  bindings = list(FLAGSHIP)
+  bindings = []
   if trunk_dtype != 'float32':
     bindings += [f'NerfMLP.trunk_dtype = "{trunk_dtype}"',
                  f'PropMLP.trunk_dtype = "{trunk_dtype}"']
-  ginlite.parse_config_files_and_bindings([], bindings)
+  ginlite.parse_config_files_and_bindings([FLAGSHIP_GIN], bindings)
   config = configs_lib.Config(
       dataset_loader=args.loader, near=args.near, far=args.far,
       render_chunk_size=args.chunk, batch_size=4096)

@@ -104,11 +104,18 @@ def test_render_image_full_pipeline():
   assert len(rendering['ray_sdist']) == 2
 
 
-def test_render_image_scanned_matches_loop():
+@pytest.mark.parametrize('chunk_size', [96, 248])
+def test_render_image_scanned_matches_loop(chunk_size):
   """The single-dispatch lax.scan render must equal the chunk loop exactly
-  (same jitted chunk renderer, same chunking; dummy 16x16 image with
-  render_chunk_size=96 exercises num_chunks=3 + 32 rays of padding)."""
-  config = tiny_config(render_chunk_size=96)
+  (same jitted chunk renderer, same chunking).  chunk_size=96 on the dummy
+  16x16 image exercises num_chunks=3 + 32 rays of padding; 248 leaves the
+  last chunk with only 8 real rays — fewer than vis_num_rays — pinning
+  that edge-padded duplicates stay out of the ray vis bundles.  (Both
+  sizes are multiples of the 8-device mesh: a non-divisible chunk rounds
+  down in the scanned path but pads up per chunk in the loop, shifting
+  the vis-bundle chunk boundaries — images stay equal, bundles sample
+  different rays.)"""
+  config = tiny_config(render_chunk_size=chunk_size)
   mesh = mesh_lib.create_mesh()
   dataset = datasets.load_dataset('test', '', config)
 
