@@ -199,6 +199,32 @@ def time_reference_impl():
   return best
 
 
+def time_reference_render(frames=8):
+  """The reference's pmap eval-render fn timed on a 64x64 frame's rays.
+
+  Generous to the reference: this times ONLY its on-device pmap render
+  (train_utils.py:377-396) with the same chained-scalar sync protocol —
+  its render_image additionally unshards every chunk to host
+  (models.py:625-706), which a remote-attached host link would bill at a
+  round trip per chunk.
+  """
+  from multinerf_tpu import reference_import
+  if not reference_import.reference_available():
+    return None
+  render_pfn, variables, sharded_rays, _ = (
+      reference_import.build_reference_360_render(64 * 64))
+
+  def render_once():
+    renderings, _ = render_pfn(variables, 1.0, None, sharded_rays)
+    return jnp.mean(renderings[-1]['rgb'])
+
+  float(render_once())  # Compile + sync.
+  t0 = time.perf_counter()
+  acc = [render_once() for _ in range(frames)]
+  float(jnp.stack(acc).sum())  # Single sync point.
+  return (time.perf_counter() - t0) / frames
+
+
 def main():
   # The shipping trunk dtype: bf16 hidden activations (matmul COMPUTE is
   # bf16-in/f32-accumulate either way at XLA's default TPU precision; this
@@ -258,6 +284,7 @@ def main():
   # Reference-implementation path: the reference's own pmap step, imported
   # from the read-only checkout and executed on the same chip.
   ref_impl_rays_per_sec = time_reference_impl()
+  ref_render_sec_per_frame = time_reference_render()
 
   n_chips = jax.device_count()
   denom = ref_impl_rays_per_sec or ref_algo_rays_per_sec
@@ -297,6 +324,11 @@ def main():
       'render_rays_per_sec_per_chip': round(
           render_rays_per_sec / n_chips, 1),
   }
+  if ref_render_sec_per_frame is not None:
+    result['reference_render_sec_per_frame_64x64'] = round(
+        ref_render_sec_per_frame, 4)
+    result['vs_reference_render'] = round(
+        ref_render_sec_per_frame / render_sec_per_frame, 3)
   if ref_impl_rays_per_sec is not None:
     result['vs_reference_impl'] = round(
         culled_rays_per_sec / ref_impl_rays_per_sec, 3)

@@ -89,18 +89,13 @@ def import_reference() -> Any:
       image=image)
 
 
-def build_reference_360_step(batch_size: int, seed: int = 0):
-  """Assemble the reference's ACTUAL pmap train step on the 360 config.
+def _build_360_model(batch_size: int, seed: int = 0):
+  """Shared 360-config model/rays/variables assembly for both builders.
 
   Reproduces what reference train.py:60-130 + train_utils.py:399-419 set up
-  (model from configs/360.gin bindings, Adam + lr schedule, pmap'd step,
-  replicated state, [n_devices, batch/n_devices, ...] sharded batch) without
-  gin: the 360.gin MLP/Model bindings are baked in via subclass defaults.
-
-  Returns (train_pstep, replicated_state, sharded_batch, rngs): call
-  ``train_pstep(rngs, state, batch, None, train_frac, loss_threshold)``.
+  (model from configs/360.gin bindings) without gin: the 360.gin MLP/Model
+  bindings are baked in via subclass defaults.
   """
-  import flax
   import jax
   import jax.numpy as jnp
   import numpy as np
@@ -139,6 +134,41 @@ def build_reference_360_step(batch_size: int, seed: int = 0):
       lambda x: jnp.asarray(x[:10]), ref.utils.Rays(**ray_kwargs))
   variables = model.init(rng, rng=None, rays=init_rays, train_frac=1.0,
                          compute_extras=False, zero_glo=True)
+  return ref, config, model, variables, ray_kwargs
+
+
+def build_reference_360_render(batch_size: int, seed: int = 0):
+  """The reference's ACTUAL pmap eval-render fn on the 360 config.
+
+  Returns (render_pfn, variables, sharded_rays, ref): call
+  ``render_pfn(variables, 1.0, None, sharded_rays)`` ->
+  (renderings list, ray_history).  ``sharded_rays`` carry ``batch_size``
+  synthetic rays laid out [n_devices, batch/n_devices, ...] the way the
+  reference's render_image shards chunks (models.py:650-671).
+  """
+  import jax
+
+  ref, config, model, variables, ray_kwargs = _build_360_model(
+      batch_size, seed)
+  render_pfn = ref.train_utils.create_render_fn(model)
+  rays = ref.utils.Rays(**ray_kwargs)
+  sharded_rays = ref.utils.shard(rays)
+  return render_pfn, variables, sharded_rays, ref
+
+
+def build_reference_360_step(batch_size: int, seed: int = 0):
+  """Assemble the reference's ACTUAL pmap train step on the 360 config.
+
+  Returns (train_pstep, replicated_state, sharded_batch, rngs): call
+  ``train_pstep(rngs, state, batch, None, train_frac, loss_threshold)``.
+  """
+  import flax
+  import jax
+  import numpy as np
+
+  ref, config, model, variables, ray_kwargs = _build_360_model(
+      batch_size, seed)
+  rs = np.random.RandomState(seed)
   state, _ = ref.train_utils.create_optimizer(config, variables)
   train_pstep = ref.train_utils.create_train_step(model, config)
 
