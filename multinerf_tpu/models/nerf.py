@@ -367,15 +367,21 @@ def _subsample_ray_bundles(rendering, config):
 
 
 def _render_image_scanned(render_fn, rays, rng, config, height, width,
-                          fetch=True):
+                          fetch=True, mesh=None):
   """Whole-image render as ONE dispatch: lax.scan over stacked ray chunks.
 
   The per-chunk Python loop costs a host dispatch per chunk (and, on a
   remotely-attached TPU, a round trip); scanning the jitted chunk renderer
   over a [num_chunks, chunk, ...] stack compiles once per image shape and
-  leaves the host out of the inner loop entirely.  Single-process only —
-  the multi-process path needs per-chunk global-array assembly.
+  leaves the host out of the inner loop entirely.  Multi-process: every
+  process holds the same full-image rays; each contributes its slice of
+  every chunk's rows to ONE global [num_chunks, chunk, ...] array sharded
+  over the data axis (the same row->process mapping as the loop path's
+  per-chunk assembly), and the render fn's replicated outputs make the
+  result addressable on all processes.
   """
+  import numpy as np
+
   num_rays = height * width
   n_dev = jax.device_count()
   # Chunks must be device-divisible for even sharding, and never render
@@ -384,11 +390,32 @@ def _render_image_scanned(render_fn, rays, rng, config, height, width,
   chunk = max(n_dev, chunk // n_dev * n_dev)
   num_chunks = -(-num_rays // chunk)
   padding = num_chunks * chunk - num_rays
-  if padding:
-    rays = jax.tree_util.tree_map(
-        lambda r: jnp.pad(r, ((0, padding), (0, 0)), mode='edge'), rays)
-  stacked = jax.tree_util.tree_map(
-      lambda r: r.reshape((num_chunks, chunk) + r.shape[1:]), rays)
+
+  if jax.process_count() > 1:
+    from multinerf_tpu.parallel import mesh as mesh_lib
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    per = chunk // jax.process_count()
+    start = jax.process_index() * per
+
+    def put(r):
+      r = np.asarray(r)
+      if padding:
+        r = np.pad(r, ((0, padding), (0, 0)), mode='edge')
+      local = r.reshape((num_chunks, chunk) + r.shape[1:])[:,
+                                                           start:start + per]
+      spec = PartitionSpec(None, mesh_lib.DATA_AXIS,
+                           *([None] * (local.ndim - 2)))
+      return jax.make_array_from_process_local_data(
+          NamedSharding(mesh, spec), local)
+
+    stacked = jax.tree_util.tree_map(put, rays)
+  else:
+    if padding:
+      rays = jax.tree_util.tree_map(
+          lambda r: jnp.pad(r, ((0, padding), (0, 0)), mode='edge'), rays)
+    stacked = jax.tree_util.tree_map(
+        lambda r: r.reshape((num_chunks, chunk) + r.shape[1:]), rays)
 
   def body(carry, chunk_rays):
     renderings, _ = render_fn(rng, chunk_rays)
@@ -447,9 +474,9 @@ def render_image(render_fn, rays: types.Rays, rng, config,
   if multiprocess and mesh is None:
     raise ValueError('render_image requires `mesh` under multi-process JAX.')
 
-  if not multiprocess and config.render_scan_chunks:
+  if config.render_scan_chunks:
     return _render_image_scanned(render_fn, rays, rng, config, height,
-                                 width, fetch=fetch)
+                                 width, fetch=fetch, mesh=mesh)
 
   # Chunks must be divisible by the device count for even sharding.
   chunk_size = config.render_chunk_size
