@@ -37,6 +37,7 @@ tests/test_pallas_featurize_dense.py (interpreted on CPU).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -136,8 +137,15 @@ def _dw_kernel(m_ref, c9_ref, bt_ref, bbt_ref, g_ref, dw_ref, *,
       preferred_element_type=jnp.float32)  # [F, W]
 
 
-def _pick_tile(n: int) -> int:
-  for tile in (512, 256, 128):
+def _pick_tile(n: int, prefer: int = 1024) -> int:
+  # The in-context sweep on v5e (scripts/tile_sweep.py) measured 1024 as
+  # the best sample tile for this kernel family and the fused density MLP
+  # (+2.6% uncull / +2.2% culled whole-step vs 512; 2048 exceeds VMEM).
+  # The int8 trunk keeps prefer=512 (heavier per-tile footprint, unswept).
+  # MULTINERF_PALLAS_TILE overrides for experiments.
+  pref = int(os.environ.get('MULTINERF_PALLAS_TILE', '0') or 0) or prefer
+  choices = (pref, 512, 256, 128)
+  for tile in choices:
     if n % tile == 0:
       return tile
   return 0  # Caller pads.

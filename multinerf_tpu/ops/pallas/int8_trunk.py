@@ -228,12 +228,15 @@ def _make_fn(basis_bytes, basis_shape, min_deg, max_deg, use_contract,
 
   def _prep(means, covs):
     n = means.shape[0]
-    tile = _pick_tile(n)
+    # prefer=512: this kernel holds the whole 8-layer trunk's weights plus
+    # int8/bf16 activation copies per tile — the 1024 tile that wins for
+    # the lighter bf16 kernels is unswept (and VMEM-riskier) here.
+    tile = _pick_tile(n, prefer=512)
     if tile == 0:
       pad = (-n) % 256
       means = jnp.pad(means, ((0, pad), (0, 0)))
       covs = jnp.pad(covs, ((0, pad), (0, 0)))
-      tile = _pick_tile(n + pad)
+      tile = _pick_tile(n + pad, prefer=512)
     return means.T, covs.T, tile
 
   def _const_specs(tile):
