@@ -6,7 +6,11 @@ matmul roofline for the same FLOPs is ~0.59 / ~1.77 ms — i.e. the prop
 levels run ~3x off roofline and are ~1/3 of the CULLED step.  This probe
 times the variants needed to attribute the gap:
 
-  fused_fwd / fused_train   the production Pallas kernel (fwd / fwd+bwd)
+  fused_fwd / fused_train   the production Pallas kernel.  NOTE:
+                            fused_train times the bwd kernel ALONE — with
+                            the forward value unused XLA DCEs the fwd
+                            custom call (the custom VJP's residuals are
+                            only the inputs); see DESIGN.md.
   floor_fwd / floor_train   XLA bf16 matmul chain on PREcomputed features
                             (the achievable matmul floor, no featurize)
   xla_fwd / xla_train       the unfused XLA twin (contract + recurrence
