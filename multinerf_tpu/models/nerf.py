@@ -366,88 +366,176 @@ def _subsample_ray_bundles(rendering, config):
   return rendering
 
 
-def _render_image_scanned(render_fn, rays, rng, config, height, width,
-                          fetch=True, mesh=None):
-  """Whole-image render as ONE dispatch: lax.scan over stacked ray chunks.
+class ImageRenderer:
+  """Compile-once whole-image renderer: ONE device dispatch per frame.
 
-  The per-chunk Python loop costs a host dispatch per chunk (and, on a
-  remotely-attached TPU, a round trip); scanning the jitted chunk renderer
-  over a [num_chunks, chunk, ...] stack compiles once per image shape and
-  leaves the host out of the inner loop entirely.  Multi-process: every
-  process holds the same full-image rays; each contributes its slice of
-  every chunk's rows to ONE global [num_chunks, chunk, ...] array sharded
-  over the data axis (the same row->process mapping as the loop path's
-  per-chunk assembly), and the render fn's replicated outputs make the
-  result addressable on all processes.
+  Eval and render jobs draw many frames of the same shape, so everything
+  shape-dependent is paid once per (height, width): the chunking plan, the
+  lax.scan over stacked ray chunks, and the on-device post-processing
+  (strip padding, reshape to H x W, concatenate/subsample vis bundles) are
+  all traced into a single cached jitted function.  Per frame the host
+  only reshapes numpy rays, ships them in one transfer, and fires one
+  call — params and train_frac are real arguments, so nothing retraces as
+  the checkpoint advances.
+
+  This replaces the reference's chunked host loop (models.py:625-706 of
+  google-research/multinerf: per-chunk pmap dispatch + host unshard +
+  host concatenate), which bills a host round trip per chunk — ruinous on
+  a remotely-attached TPU and wasteful everywhere else.
+
+  Usage::
+
+    renderer = ImageRenderer(render_eval_pfn, config, mesh=mesh)
+    rendering = renderer(state.params, train_frac, rays, rng=None)
+
+  With ``fetch=False`` the result stays on device, letting a caller
+  pipeline frames: dispatch frame n+1, then device_get frame n while the
+  chip renders.
   """
-  import numpy as np
 
-  num_rays = height * width
-  n_dev = jax.device_count()
-  # Chunks must be device-divisible for even sharding, and never render
-  # more padding than one device-multiple past the image.
-  chunk = min(config.render_chunk_size, -(-num_rays // n_dev) * n_dev)
-  chunk = max(n_dev, chunk // n_dev * n_dev)
-  num_chunks = -(-num_rays // chunk)
-  padding = num_chunks * chunk - num_rays
+  def __init__(self, render_fn, config, mesh=None):
+    """Args:
+      render_fn: (params, train_frac, rng, rays_chunk) -> (renderings,
+        history); typically the jitted fn from train_lib.create_render_fn.
+      config: Config (render_chunk_size, vis_num_rays).
+      mesh: the device mesh; required multi-process, recommended whenever
+        more than one device should share the frame.
+    """
+    self._render_fn = render_fn
+    self._config = config
+    self._mesh = mesh
+    self._whole_fns = {}  # (height, width) -> jitted whole-image fn.
 
-  if jax.process_count() > 1:
-    from multinerf_tpu.parallel import mesh as mesh_lib
-    from jax.sharding import NamedSharding, PartitionSpec
+  def _plan(self, num_rays):
+    # Chunks must be device-divisible for even sharding, and never render
+    # more padding than one device-multiple past the image.
+    n_dev = jax.device_count()
+    chunk = min(self._config.render_chunk_size, -(-num_rays // n_dev) * n_dev)
+    chunk = max(n_dev, chunk // n_dev * n_dev)
+    num_chunks = -(-num_rays // chunk)
+    return chunk, num_chunks, num_chunks * chunk - num_rays
 
-    per = chunk // jax.process_count()
-    start = jax.process_index() * per
+  def _build(self, height, width):
+    config = self._config
+    render_fn = self._render_fn
+    num_rays = height * width
+    chunk, num_chunks, padding = self._plan(num_rays)
+    # The last chunk's real ray count: its vis bundle must not include the
+    # edge-padded duplicate rays.
+    last_real = min(config.vis_num_rays, chunk - padding)
 
-    def put(r):
+    def whole_image(params, train_frac, rng, stacked):
+      def body(carry, chunk_rays):
+        renderings, _ = render_fn(params, train_frac, rng, chunk_rays)
+        return carry, _keep_chunk_outputs(renderings, config)
+
+      _, outs = jax.lax.scan(body, None, stacked)
+
+      def cat_bundles(r):
+        # [num_chunks, vis, ...] -> concatenated over chunks, padded rows
+        # of the final chunk dropped.
+        head = r[:-1].reshape((-1,) + r.shape[2:])
+        return jnp.concatenate([head, r[-1][:last_real]], axis=0)
+
+      rendering = {}
+      for k, z in outs.items():
+        if k.startswith('ray_'):
+          rendering[k] = [cat_bundles(r) for r in z]
+        else:
+          flat = z.reshape((num_chunks * chunk,) + z.shape[2:])[:num_rays]
+          rendering[k] = flat.reshape((height, width) + flat.shape[1:])
+      return _subsample_ray_bundles(rendering, config)
+
+    out_shardings = None
+    if self._mesh is not None and jax.process_count() > 1:
+      # Results must be addressable on every process.
+      from multinerf_tpu.parallel import mesh as mesh_lib
+      out_shardings = mesh_lib.replicated(self._mesh)
+    return jax.jit(whole_image, out_shardings=out_shardings)
+
+  def _stack_rays(self, rays, num_rays):
+    """[num_rays, ...] numpy rays -> [num_chunks, chunk, ...] on device."""
+    import numpy as np
+    chunk, num_chunks, padding = self._plan(num_rays)
+
+    if jax.process_count() > 1:
+      # Every process holds the same full-image rays; each contributes its
+      # slice of every chunk's rows to ONE global array sharded over the
+      # data axis.
+      from multinerf_tpu.parallel import mesh as mesh_lib
+      from jax.sharding import NamedSharding, PartitionSpec
+      per = chunk // jax.process_count()
+      start = jax.process_index() * per
+
+      def put(r):
+        r = np.asarray(r)
+        if padding:
+          r = np.pad(r, ((0, padding), (0, 0)), mode='edge')
+        local = r.reshape((num_chunks, chunk) + r.shape[1:])
+        local = local[:, start:start + per]
+        spec = PartitionSpec(None, mesh_lib.DATA_AXIS,
+                             *([None] * (local.ndim - 2)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(self._mesh, spec), local)
+
+      return jax.tree_util.tree_map(put, rays)
+
+    def stack(r):
       r = np.asarray(r)
       if padding:
         r = np.pad(r, ((0, padding), (0, 0)), mode='edge')
-      local = r.reshape((num_chunks, chunk) + r.shape[1:])[:,
-                                                           start:start + per]
-      spec = PartitionSpec(None, mesh_lib.DATA_AXIS,
-                           *([None] * (local.ndim - 2)))
-      return jax.make_array_from_process_local_data(
-          NamedSharding(mesh, spec), local)
+      return r.reshape((num_chunks, chunk) + r.shape[1:])
 
-    stacked = jax.tree_util.tree_map(put, rays)
-  else:
-    if padding:
-      rays = jax.tree_util.tree_map(
-          lambda r: jnp.pad(r, ((0, padding), (0, 0)), mode='edge'), rays)
-    stacked = jax.tree_util.tree_map(
-        lambda r: r.reshape((num_chunks, chunk) + r.shape[1:]), rays)
+    stacked = jax.tree_util.tree_map(stack, rays)
+    if self._mesh is not None:
+      # Commit with an explicit data-axis sharding so the frame spreads
+      # over the mesh (and ships in one batched transfer) instead of
+      # landing on the default device.
+      from multinerf_tpu.parallel import mesh as mesh_lib
+      from jax.sharding import NamedSharding, PartitionSpec
+      stacked = jax.device_put(
+          stacked,
+          jax.tree_util.tree_map(
+              lambda r: NamedSharding(
+                  self._mesh,
+                  PartitionSpec(None, mesh_lib.DATA_AXIS,
+                                *([None] * (r.ndim - 2)))), stacked))
+    return stacked
 
-  def body(carry, chunk_rays):
-    renderings, _ = render_fn(rng, chunk_rays)
-    return carry, _keep_chunk_outputs(renderings, config)
+  def __call__(self, params, train_frac, rays, rng=None, fetch=True):
+    """Render one [H, W] frame.
 
-  _, outs = jax.lax.scan(body, None, stacked)
+    Args:
+      params: model variables (replicated across the mesh).
+      train_frac: fraction of training complete.
+      rays: [H, W, ...] Rays pytree (host numpy preferred).
+      rng: rng key or None (deterministic).
+      fetch: transfer the result to host.  False returns device arrays so
+        callers can overlap the next frame's dispatch with this fetch.
 
-  # The last chunk's real ray count: its vis bundle must not include the
-  # edge-padded duplicate rays (the loop path strips padding before
-  # capping bundles; match that when padding eats into vis_num_rays).
-  last_real = min(config.vis_num_rays, chunk - padding)
-
-  def _cat_bundles(r):
-    # [num_chunks, vis, ...] -> concatenated over chunks, padded rows of
-    # the final chunk dropped.
-    head = r[:-1].reshape((-1,) + r.shape[2:])
-    return jnp.concatenate([head, r[-1][:last_real]], axis=0)
-
-  rendering = {}
-  for k, z in outs.items():
-    if k.startswith('ray_'):
-      rendering[k] = [_cat_bundles(r) for r in z]
-    else:
-      flat = z.reshape((num_chunks * chunk,) + z.shape[2:])[:num_rays]
-      rendering[k] = flat.reshape((height, width) + flat.shape[1:])
-  rendering = _subsample_ray_bundles(rendering, config)
-  return jax.device_get(rendering) if fetch else rendering
+    Returns:
+      dict of [H, W, c] image buffers plus 'ray_' visualization bundles.
+    """
+    height, width = rays.origins.shape[:2]
+    num_rays = height * width
+    rays = jax.tree_util.tree_map(
+        lambda r: r.reshape((num_rays,) + r.shape[2:]), rays)
+    key = (height, width)
+    if key not in self._whole_fns:
+      self._whole_fns[key] = self._build(height, width)
+    stacked = self._stack_rays(rays, num_rays)
+    rendering = self._whole_fns[key](params, train_frac, rng, stacked)
+    return jax.device_get(rendering) if fetch else rendering
 
 
 def render_image(render_fn, rays: types.Rays, rng, config,
                  verbose: bool = True, mesh=None, fetch: bool = True):
-  """Render all pixels of an image by driving a jitted chunk renderer.
+  """Render all pixels of one image (one-shot convenience wrapper).
+
+  Production surfaces that render many frames (eval.py, render.py,
+  train.py's in-train eval) should construct an ImageRenderer once and
+  reuse it — this wrapper builds a fresh one per call, so every call pays
+  tracing.
 
   Args:
     render_fn: jitted function (rng, rays-chunk) -> (renderings, history)
@@ -468,15 +556,19 @@ def render_image(render_fn, rays: types.Rays, rng, config,
   """
   height, width = rays.origins.shape[:2]
   num_rays = height * width
-  rays = jax.tree_util.tree_map(lambda r: r.reshape((num_rays, -1)), rays)
 
   multiprocess = jax.process_count() > 1
   if multiprocess and mesh is None:
     raise ValueError('render_image requires `mesh` under multi-process JAX.')
 
   if config.render_scan_chunks:
-    return _render_image_scanned(render_fn, rays, rng, config, height,
-                                 width, fetch=fetch, mesh=mesh)
+    renderer = ImageRenderer(
+        lambda params, train_frac, key, chunk_rays: render_fn(key,
+                                                              chunk_rays),
+        config, mesh=mesh)
+    return renderer(None, None, rays, rng=rng, fetch=fetch)
+
+  rays = jax.tree_util.tree_map(lambda r: r.reshape((num_rays, -1)), rays)
 
   # Chunks must be divisible by the device count for even sharding.
   chunk_size = config.render_chunk_size

@@ -156,6 +156,32 @@ def build_reference_360_render(batch_size: int, seed: int = 0):
   return render_pfn, variables, sharded_rays, ref
 
 
+def build_reference_360_image_render(seed: int = 0):
+  """The reference's PRODUCTION whole-image render path on the 360 config.
+
+  This is the path eval.py:101 and render.py:155 actually drive:
+  ``models.render_image`` (models.py:625-706) — per-chunk host loop, pmap
+  dispatch per chunk, per-chunk unshard, host-side concatenation — around
+  the pmap render fn (train_utils.py:377-396).
+
+  Returns (render_frame, ref, config): ``render_frame(rays_hw, rng=None)``
+  renders one [H, W] frame and returns the host rendering dict.
+  """
+  import functools
+  import jax
+
+  ref, config, model, variables, _ = _build_360_model(16, seed)
+  render_pfn = ref.train_utils.create_render_fn(model)
+
+  def render_frame(rays_hw, rng=None):
+    rendering = ref.models.render_image(
+        functools.partial(render_pfn, variables, 1.0), rays_hw, rng,
+        config, verbose=False)
+    return jax.device_get(rendering)
+
+  return render_frame, ref, config
+
+
 def build_reference_360_step(batch_size: int, seed: int = 0):
   """Assemble the reference's ACTUAL pmap train step on the 360 config.
 

@@ -1,0 +1,130 @@
+"""Fair production-path render A/B: ours vs the reference, same frames.
+
+Both stacks drive their PRODUCTION whole-image render surface on identical
+synthetic frames of the flagship 360 architecture, including the final
+host fetch:
+
+  ours       models.ImageRenderer over the jitted SPMD render fn — one
+             compile per frame shape, ONE device dispatch + ONE host
+             fetch per frame.
+  reference  the actual ``internal/models.py:625-706`` chunked host loop
+             around its pmap render fn (what reference eval.py:101 runs),
+             executed from the read-only /root/reference checkout.
+
+Also reports ours with 2 frames in flight (``fetch=False`` + deferred
+device_get), the pipelining eval.py uses.
+
+Usage: python scripts/render_ab.py [--sizes 64,512] [--frames 6]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from multinerf_tpu.utils import cache as _cache
+_cache.enable_persistent_compilation_cache()
+
+
+def make_ray_fields(h, w, seed=2):
+  rs = np.random.RandomState(seed)
+  n = h * w
+  d = rs.randn(n, 3).astype(np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  return dict(
+      origins=(rs.randn(n, 3).astype(np.float32) * 0.1).reshape(h, w, 3),
+      directions=d.reshape(h, w, 3),
+      viewdirs=d.reshape(h, w, 3),
+      radii=np.full((h, w, 1), 1e-3, np.float32),
+      imageplane=np.zeros((h, w, 2), np.float32),
+      lossmult=np.ones((h, w, 1), np.float32),
+      near=np.full((h, w, 1), 0.2, np.float32),
+      far=np.full((h, w, 1), 1e6, np.float32),
+      cam_idx=np.zeros((h, w, 1), np.int32))
+
+
+def time_ours(renderer, state, rays, frames):
+  # Warmup (compile).
+  t0 = time.perf_counter()
+  renderer(state.params, 1.0, rays)
+  first = time.perf_counter() - t0
+  # Sequential production: dispatch + fetch per frame.
+  t0 = time.perf_counter()
+  for _ in range(frames):
+    out = renderer(state.params, 1.0, rays)
+  seq = (time.perf_counter() - t0) / frames
+  # Pipelined: 2 frames in flight.
+  t0 = time.perf_counter()
+  pending = renderer(state.params, 1.0, rays, fetch=False)
+  for _ in range(frames - 1):
+    nxt = renderer(state.params, 1.0, rays, fetch=False)
+    jax.device_get(pending)
+    pending = nxt
+  jax.device_get(pending)
+  pipe = (time.perf_counter() - t0) / frames
+  del out
+  return first, seq, pipe
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument('--sizes', type=str, default='64,512')
+  p.add_argument('--frames', type=int, default=6)
+  p.add_argument('--skip_reference', action='store_true')
+  args = p.parse_args()
+  sizes = [int(s) for s in args.sizes.split(',')]
+
+  import bench
+  from multinerf_tpu.data import types
+  from multinerf_tpu.models import nerf as models
+
+  BF16 = ['NerfMLP.trunk_dtype = "bfloat16"',
+          'PropMLP.trunk_dtype = "bfloat16"']
+  state, _, _, (render_pfn, config, mesh) = bench.build({}, BF16)
+  renderer = models.ImageRenderer(render_pfn, config, mesh=mesh)
+
+  results = {}
+  for s in sizes:
+    fields = make_ray_fields(s, s)
+    rays = types.Rays(**fields)
+    first, seq, pipe = time_ours(renderer, state, rays, args.frames)
+    results[s] = {'ours_first_s': round(first, 3),
+                  'ours_s': round(seq, 4),
+                  'ours_pipelined_s': round(pipe, 4),
+                  'ours_rays_per_sec': round(s * s / seq, 1)}
+    print(json.dumps({'size': s, **results[s]}), flush=True)
+
+  if not args.skip_reference:
+    from multinerf_tpu import reference_import
+    render_frame, ref, _ = reference_import.build_reference_360_image_render()
+    for s in sizes:
+      fields = make_ray_fields(s, s)
+      ref_rays = ref.utils.Rays(**fields)
+      t0 = time.perf_counter()
+      render_frame(ref_rays)
+      ref_first = time.perf_counter() - t0
+      t0 = time.perf_counter()
+      for _ in range(args.frames):
+        render_frame(ref_rays)
+      ref_s = (time.perf_counter() - t0) / args.frames
+      results[s].update({'ref_first_s': round(ref_first, 3),
+                         'ref_s': round(ref_s, 4),
+                         'ref_rays_per_sec': round(s * s / ref_s, 1),
+                         'ours_vs_ref': round(ref_s / results[s]['ours_s'],
+                                              3),
+                         'ours_pipelined_vs_ref': round(
+                             ref_s / results[s]['ours_pipelined_s'], 3)})
+      print(json.dumps({'size': s, **results[s]}), flush=True)
+
+  print(json.dumps({'render_ab': {str(k): v for k, v in results.items()}}),
+        flush=True)
+
+
+if __name__ == '__main__':
+  main()
