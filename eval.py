@@ -6,10 +6,13 @@ new ones), computes PSNR/SSIM (+ color-corrected variants, disparity MSE,
 normal MAE), writes prediction images and per-metric txt files with the same
 names (``metric_{name}_{step}.txt``), and logs TB summaries.
 
-Runs on the jit+mesh SPMD stack (no pmap / all_gather / keepalive psum).
+Architecture (vs the reference's single render->score loop, eval.py:92-247
+there): frames flow through a two-stage pipeline — the compile-once
+``ImageRenderer`` keeps the NEXT frame rendering on the device mesh while
+the host scores the previous one — and the scoring/saving/logging stages
+are standalone functions over a per-frame record, not inlined in the loop.
 """
 
-import functools
 import os
 import sys
 import time
@@ -17,7 +20,6 @@ import time
 from absl import app
 import jax
 import numpy as np
-from flax.metrics import tensorboard
 
 from multinerf_tpu import configs
 from multinerf_tpu import train_lib
@@ -37,46 +39,250 @@ from multinerf_tpu.utils import cache as _cache
 _cache.enable_persistent_compilation_cache()
 
 
+def make_postprocess_fns(config, dataset):
+  """(tonemap fn, color-correction fn) for this dataset's color space."""
+  if config.rawnerf_mode:
+    postprocess_fn = dataset.metadata['postprocess_fn']
+  else:
+    postprocess_fn = lambda z: z
+  if config.eval_raw_affine_cc:
+    from multinerf_tpu.data import raw as raw_lib
+    cc_fn = raw_lib.match_images_affine
+  else:
+    cc_fn = image_ops.color_correct
+  return postprocess_fn, cc_fn
+
+
+def prepare_frame(rendering, batch, cc_fn):
+  """Host prep shared by scoring and saving: f64 rgb + color correction."""
+  rendering['rgb'] = np.asarray(rendering['rgb'], np.float64)
+  gt = np.asarray(batch.rgb, np.float64) if batch.rgb is not None else None
+  if gt is not None:
+    t0 = time.time()
+    rendering['rgb_cc'] = cc_fn(rendering['rgb'], gt)
+    print(f'Color corrected in {time.time() - t0:0.3f}s')
+  return gt
+
+
+def score_frame(rendering, batch, gt, config, metric_harness,
+                postprocess_fn):
+  """Quality metrics for one frame: (raw dict, color-corrected dict)."""
+
+  def to_metric_space(img):
+    img = postprocess_fn(img)
+    if config.eval_quantize_metrics:
+      # Written-to-disk images must reproduce the metrics exactly.
+      img = np.round(img * 255) / 255
+    c = config.eval_crop_borders
+    return img[c:-c, c:-c] if c > 0 else img
+
+  gt_m = to_metric_space(gt)
+  metric = metric_harness(to_metric_space(rendering['rgb']), gt_m)
+  metric_cc = metric_harness(to_metric_space(rendering['rgb_cc']), gt_m)
+
+  if config.compute_disp_metrics:
+    for key in ('distance_mean', 'distance_median'):
+      if key in rendering:
+        disp = 1 / (1 + rendering[key])
+        tag = key.split('_')[1]
+        metric[f'disparity_{tag}_mse'] = float(
+            np.mean((disp - batch.disps) ** 2))
+
+  if config.compute_normal_metrics:
+    mae_weights = rendering['acc'] * batch.alphas
+    gt_normals = ref_utils.l2_normalize(batch.normals)
+    for key, val in rendering.items():
+      if key.startswith('normals') and val is not None:
+        metric[key + '_mae'] = float(ref_utils.compute_weighted_mae(
+            mae_weights, ref_utils.l2_normalize(val), gt_normals))
+
+  for name, value in metric.items():
+    print(f'{name:30s} = {value:.4f}')
+  return metric, metric_cc
+
+
+def save_frame_outputs(rendering, idx, out_dir, postprocess_fn):
+  """Prediction images for one frame, reference-named files."""
+  tag = f'{idx:03d}'
+  io_lib.save_img_u8(postprocess_fn(rendering['rgb']),
+                     os.path.join(out_dir, f'color_{tag}.png'))
+  if 'rgb_cc' in rendering:
+    io_lib.save_img_u8(postprocess_fn(rendering['rgb_cc']),
+                       os.path.join(out_dir, f'color_cc_{tag}.png'))
+  for key in ('distance_mean', 'distance_median'):
+    if key in rendering:
+      io_lib.save_img_f32(rendering[key],
+                          os.path.join(out_dir, f'{key}_{tag}.tiff'))
+  if 'normals' in rendering:
+    io_lib.save_img_u8(rendering['normals'] / 2 + 0.5,
+                       os.path.join(out_dir, f'normals_{tag}.png'))
+  io_lib.save_img_f32(rendering['acc'],
+                      os.path.join(out_dir, f'acc_{tag}.tiff'))
+
+
+def pick_showcases(config, num_eval, step):
+  """Deterministic-or-per-step choice of TB showcase frame indices."""
+  if config.eval_only_once:
+    return np.array([], int)
+  key = jax.random.PRNGKey(0 if config.deterministic_showcase else step)
+  perm = jax.random.permutation(key, num_eval)
+  return np.sort(np.asarray(perm[:config.num_showcase_images]))
+
+
+def render_frames(renderer, dataset, state, config, num_eval):
+  """Yield (idx, batch, host rendering) with the NEXT frame in flight.
+
+  Stage 1 (device): dispatch frame idx+1 through the compile-once
+  renderer.  Stage 2 (host): fetch + yield frame idx for scoring while
+  the mesh works on idx+1.
+  """
+  train_frac = float(state.step) / config.max_steps
+  in_flight = None  # (idx, batch, device rendering)
+
+  for idx in range(dataset.size):
+    batch = next(dataset)
+    if idx >= num_eval:
+      print(f'Skipping image {idx + 1}/{dataset.size}')
+      continue
+    print(f'Evaluating image {idx + 1}/{dataset.size}')
+    device_rendering = renderer(state.params, train_frac, batch.rays,
+                                fetch=False)
+    if in_flight is not None:
+      yield in_flight[0], in_flight[1], jax.device_get(in_flight[2])
+    in_flight = (idx, batch, device_rendering)
+  if in_flight is not None:
+    yield in_flight[0], in_flight[1], jax.device_get(in_flight[2])
+
+
+def log_tb_summaries(summary_writer, step, config, frame_metrics,
+                     showcases, render_times, postprocess_fn):
+  """Aggregate scalars/histograms and showcase image suites."""
+  summary_writer.scalar('eval_median_render_time',
+                        np.median(render_times), step)
+  for group, per_frame in frame_metrics.items():
+    for name in (per_frame[0] if per_frame else ()):
+      scores = [m[name] for m in per_frame]
+      summary_writer.scalar(f'{group}/{name}', np.mean(scores), step)
+      summary_writer.histogram(f'{group}/perimage_{name}', scores, step)
+
+  thin = (lambda x: None if x is None else
+          x[::config.vis_decimate, ::config.vis_decimate]
+          ) if config.vis_decimate > 1 else (lambda x: x)
+  for i, rendering, batch in showcases:
+    rendering = jax.tree_util.tree_map(thin, rendering)
+    batch = jax.tree_util.tree_map(thin, batch)
+    suite = vis.visualize_suite(rendering, batch.rays)
+    for name, img in suite.items():
+      if name == 'color':
+        img = postprocess_fn(img)
+      summary_writer.image(f'output_{name}_{i}', img, step)
+    if not config.render_path:
+      target = postprocess_fn(batch.rgb)
+      summary_writer.image(f'true_color_{i}', target, step)
+      pred = postprocess_fn(suite['color'])
+      summary_writer.image(f'true_residual_{i}',
+                           np.clip(pred - target + 0.5, 0, 1), step)
+      if config.compute_normal_metrics:
+        summary_writer.image(f'true_normals_{i}', batch.normals / 2 + 0.5,
+                             step)
+
+
+def write_metric_files(out_dir, step, config, frame_metrics, render_times,
+                       showcases):
+  """Per-metric txt exports (the generate_tables scrape contract)."""
+
+  def dump(name, values):
+    with open(os.path.join(out_dir, name), 'w') as f:
+      f.write(' '.join(str(v) for v in values))
+
+  dump(f'render_times_{step}.txt', render_times)
+  prefix = {'eval_metrics': 'metric_', 'eval_metrics_cc': 'metric_cc_'}
+  for group, per_frame in frame_metrics.items():
+    for name in (per_frame[0] if per_frame else ()):
+      dump(f'{prefix[group]}{name}_{step}.txt',
+           [m[name] for m in per_frame])
+  if config.eval_save_ray_data:
+    np.set_printoptions(threshold=sys.maxsize)
+    for i, rendering, _ in showcases:
+      bundles = {k: v for k, v in rendering.items() if 'ray_' in k}
+      with open(os.path.join(out_dir, f'ray_data_{step}_{i}.txt'),
+                'w') as f:
+        f.write(repr(bundles))
+
+
+def evaluate_checkpoint(state, step, renderer, dataset, config, out_dir,
+                        summary_writer, postprocess_fn, cc_fn,
+                        metric_harness):
+  """Render + score every test frame of one checkpoint."""
+  num_eval = min(dataset.size, config.eval_dataset_limit)
+  showcase_indices = pick_showcases(config, num_eval, step)
+
+  metrics, metrics_cc = [], []
+  showcases = []
+  render_times = []
+  frame_done_at = time.time()
+  for idx, batch, rendering in render_frames(renderer, dataset, state,
+                                             config, num_eval):
+    if jax.process_index() != 0:  # Only record via process 0.
+      continue
+    now = time.time()
+    render_times.append(now - frame_done_at)
+    frame_done_at = now
+    print(f'Rendered in {render_times[-1]:0.3f}s')
+
+    gt = prepare_frame(rendering, batch, cc_fn)
+    if idx in showcase_indices:
+      order = idx if config.deterministic_showcase else len(showcases)
+      showcases.append((order, rendering, batch))
+    if not config.render_path:
+      metric, metric_cc = score_frame(rendering, batch, gt, config,
+                                      metric_harness, postprocess_fn)
+      metrics.append(metric)
+      metrics_cc.append(metric_cc)
+    if (config.eval_save_output and config.eval_render_interval > 0 and
+        idx % config.eval_render_interval == 0):
+      save_frame_outputs(rendering, idx, out_dir, postprocess_fn)
+
+  if jax.process_index() != 0:
+    return
+  frame_metrics = {'eval_metrics': metrics, 'eval_metrics_cc': metrics_cc}
+  if summary_writer is not None:
+    log_tb_summaries(summary_writer, step, config, frame_metrics,
+                     showcases, render_times, postprocess_fn)
+  if config.eval_save_output and not config.render_path:
+    write_metric_files(out_dir, step, config, frame_metrics, render_times,
+                       showcases)
+
+
 def main(unused_argv):
   config = configs.load_config(save_config=False)
-
   dataset = datasets.load_dataset('test', config.data_dir, config)
 
   mesh = mesh_lib.create_mesh()
   key = jax.random.PRNGKey(20200823)
   _, state, render_eval_pfn, _, _ = train_lib.setup_model(config, key,
                                                           mesh=mesh)
+  renderer = models.ImageRenderer(render_eval_pfn, config, mesh=mesh)
 
-  if config.rawnerf_mode:
-    postprocess_fn = dataset.metadata['postprocess_fn']
-  else:
-    postprocess_fn = lambda z: z
-
-  if config.eval_raw_affine_cc:
-    from multinerf_tpu.data import raw as raw_lib
-    cc_fun = raw_lib.match_images_affine
-  else:
-    cc_fun = image_ops.color_correct
-
+  postprocess_fn, cc_fn = make_postprocess_fns(config, dataset)
   metric_harness = image_ops.MetricHarness(
       lpips_weights_path=config.lpips_weights_path)
 
-  last_step = 0
   out_dir = os.path.join(
       config.checkpoint_dir,
       'path_renders' if config.render_path else 'test_preds')
-  path_fn = lambda x: os.path.join(out_dir, x)
-
   ckpt = ckpt_lib.CheckpointManager(config.checkpoint_dir, keep=100)
-
+  summary_writer = None
   if not config.eval_only_once:
+    from flax.metrics import tensorboard
     summary_writer = tensorboard.SummaryWriter(
         os.path.join(config.checkpoint_dir, 'eval'))
+
+  last_step = 0
   while True:
     state = ckpt.restore_latest(state)
     # Restored arrays land on one device; lay the state out on the mesh
-    # (the scanned render closes over params, so they must already live
-    # on the same device set as the jitted chunk renderer).
+    # (the render fn expects params resident on the same device set).
     state = jax.device_put(state, mesh_lib.replicated(mesh))
     step = int(state.step)
     if step <= last_step:
@@ -84,171 +290,18 @@ def main(unused_argv):
       time.sleep(10)
       continue
     print(f'Evaluating checkpoint at step {step}.')
-    if config.eval_save_output and not os.path.isdir(out_dir):
+    if config.eval_save_output:
       os.makedirs(out_dir, exist_ok=True)
 
-    num_eval = min(dataset.size, config.eval_dataset_limit)
-    key = jax.random.PRNGKey(0 if config.deterministic_showcase else step)
-    perm = jax.random.permutation(key, num_eval)
-    showcase_indices = np.sort(perm[:config.num_showcase_images])
-
-    metrics = []
-    metrics_cc = []
-    showcases = []
-    render_times = []
-    for idx in range(dataset.size):
-      eval_start_time = time.time()
-      batch = next(dataset)
-      if idx >= num_eval:
-        print(f'Skipping image {idx + 1}/{dataset.size}')
-        continue
-      print(f'Evaluating image {idx + 1}/{dataset.size}')
-      rays = batch.rays
-      train_frac = state.step / config.max_steps
-      rendering = models.render_image(
-          functools.partial(render_eval_pfn, state.params, train_frac),
-          rays, None, config)
-
-      if jax.process_index() != 0:  # Only record via process 0.
-        continue
-
-      render_times.append(time.time() - eval_start_time)
-      print(f'Rendered in {render_times[-1]:0.3f}s')
-
-      # f64 for a high-precision color-correction solve.
-      gt_rgb = np.array(batch.rgb, dtype=np.float64)
-      rendering['rgb'] = np.array(rendering['rgb'], dtype=np.float64)
-
-      cc_start_time = time.time()
-      rendering['rgb_cc'] = cc_fun(rendering['rgb'], gt_rgb)
-      print(f'Color corrected in {(time.time() - cc_start_time):0.3f}s')
-
-      if not config.eval_only_once and idx in showcase_indices:
-        showcase_idx = idx if config.deterministic_showcase else len(showcases)
-        showcases.append((showcase_idx, rendering, batch))
-      if not config.render_path:
-        rgb = postprocess_fn(rendering['rgb'])
-        rgb_cc = postprocess_fn(rendering['rgb_cc'])
-        rgb_gt = postprocess_fn(gt_rgb)
-
-        if config.eval_quantize_metrics:
-          # Written-to-disk images must reproduce the metrics exactly.
-          rgb = np.round(rgb * 255) / 255
-          rgb_cc = np.round(rgb_cc * 255) / 255
-
-        if config.eval_crop_borders > 0:
-          crop_fn = lambda x, c=config.eval_crop_borders: x[c:-c, c:-c]
-          rgb = crop_fn(rgb)
-          rgb_cc = crop_fn(rgb_cc)
-          rgb_gt = crop_fn(rgb_gt)
-
-        metric = metric_harness(rgb, rgb_gt)
-        metric_cc = metric_harness(rgb_cc, rgb_gt)
-
-        if config.compute_disp_metrics:
-          for tag in ['mean', 'median']:
-            k = f'distance_{tag}'
-            if k in rendering:
-              disparity = 1 / (1 + rendering[k])
-              metric[f'disparity_{tag}_mse'] = float(
-                  ((disparity - batch.disps)**2).mean())
-
-        if config.compute_normal_metrics:
-          weights = rendering['acc'] * batch.alphas
-          normalized_normals_gt = ref_utils.l2_normalize(batch.normals)
-          for k, val in rendering.items():
-            if k.startswith('normals') and val is not None:
-              normalized_normals = ref_utils.l2_normalize(val)
-              metric[k + '_mae'] = float(ref_utils.compute_weighted_mae(
-                  weights, normalized_normals, normalized_normals_gt))
-
-        for m, v in metric.items():
-          print(f'{m:30s} = {v:.4f}')
-
-        metrics.append(metric)
-        metrics_cc.append(metric_cc)
-
-      if config.eval_save_output and (config.eval_render_interval > 0):
-        if (idx % config.eval_render_interval) == 0:
-          io_lib.save_img_u8(postprocess_fn(rendering['rgb']),
-                             path_fn(f'color_{idx:03d}.png'))
-          io_lib.save_img_u8(postprocess_fn(rendering['rgb_cc']),
-                             path_fn(f'color_cc_{idx:03d}.png'))
-
-          for k in ['distance_mean', 'distance_median']:
-            if k in rendering:
-              io_lib.save_img_f32(rendering[k],
-                                  path_fn(f'{k}_{idx:03d}.tiff'))
-
-          for k in ['normals']:
-            if k in rendering:
-              io_lib.save_img_u8(rendering[k] / 2.0 + 0.5,
-                                 path_fn(f'{k}_{idx:03d}.png'))
-
-          io_lib.save_img_f32(rendering['acc'], path_fn(f'acc_{idx:03d}.tiff'))
-
-    if (not config.eval_only_once) and (jax.process_index() == 0):
-      summary_writer.scalar('eval_median_render_time',
-                            np.median(render_times), step)
-      for name in metrics[0]:
-        scores = [m[name] for m in metrics]
-        summary_writer.scalar('eval_metrics/' + name, np.mean(scores), step)
-        summary_writer.histogram('eval_metrics/' + 'perimage_' + name,
-                                 scores, step)
-      for name in metrics_cc[0]:
-        scores = [m[name] for m in metrics_cc]
-        summary_writer.scalar('eval_metrics_cc/' + name, np.mean(scores),
-                              step)
-        summary_writer.histogram('eval_metrics_cc/' + 'perimage_' + name,
-                                 scores, step)
-
-      for i, r, b in showcases:
-        if config.vis_decimate > 1:
-          d = config.vis_decimate
-          decimate_fn = lambda x, d=d: None if x is None else x[::d, ::d]
-        else:
-          decimate_fn = lambda x: x
-        r = jax.tree_util.tree_map(decimate_fn, r)
-        b = jax.tree_util.tree_map(decimate_fn, b)
-        visualizations = vis.visualize_suite(r, b.rays)
-        for k, v in visualizations.items():
-          if k == 'color':
-            v = postprocess_fn(v)
-          summary_writer.image(f'output_{k}_{i}', v, step)
-        if not config.render_path:
-          target = postprocess_fn(b.rgb)
-          summary_writer.image(f'true_color_{i}', target, step)
-          pred = postprocess_fn(visualizations['color'])
-          residual = np.clip(pred - target + 0.5, 0, 1)
-          summary_writer.image(f'true_residual_{i}', residual, step)
-          if config.compute_normal_metrics:
-            summary_writer.image(f'true_normals_{i}', b.normals / 2.0 + 0.5,
-                                 step)
-
-    if (config.eval_save_output and (not config.render_path) and
-        (jax.process_index() == 0)):
-      with open(path_fn(f'render_times_{step}.txt'), 'w') as f:
-        f.write(' '.join([str(r) for r in render_times]))
-      for name in metrics[0]:
-        with open(path_fn(f'metric_{name}_{step}.txt'), 'w') as f:
-          f.write(' '.join([str(m[name]) for m in metrics]))
-      for name in metrics_cc[0]:
-        with open(path_fn(f'metric_cc_{name}_{step}.txt'), 'w') as f:
-          f.write(' '.join([str(m[name]) for m in metrics_cc]))
-      if config.eval_save_ray_data:
-        for i, r, b in showcases:
-          rays = {k: v for k, v in r.items() if 'ray_' in k}
-          np.set_printoptions(threshold=sys.maxsize)
-          with open(path_fn(f'ray_data_{step}_{i}.txt'), 'w') as f:
-            f.write(repr(rays))
+    evaluate_checkpoint(state, step, renderer, dataset, config, out_dir,
+                        summary_writer, postprocess_fn, cc_fn,
+                        metric_harness)
 
     if config.eval_only_once:
       break
-    if config.early_exit_steps is not None:
-      num_steps = config.early_exit_steps
-    else:
-      num_steps = config.max_steps
-    if int(step) >= num_steps:
+    stop_at = (config.early_exit_steps if config.early_exit_steps is not None
+               else config.max_steps)
+    if step >= stop_at:
       break
     last_step = step
 

@@ -298,6 +298,25 @@ def weighted_percentile(t, w, ps):
   return mathx.interp_sorted(q, cw, t)
 
 
+def weighted_percentile_of_values(x, w, ps, xnp=jnp):
+  """Percentiles of a weighted bag of values (x, w), any shapes.
+
+  The flavor above answers percentile queries on a step FUNCTION (sorted
+  edges + interval weights, jit path); this one takes unsorted point
+  values with per-point weights — the eval/vis use case (display-bound
+  normalization of depth images).  Same CDF-interpolation semantics:
+  sort, accumulate, interpolate the inverse CDF at ps/100 of total mass.
+
+  ``xnp=np`` runs it entirely on host (utils.visualize passes numpy so an
+  eval image's colormapping never dispatches to the device).
+  """
+  x = xnp.reshape(x, [-1])
+  w = xnp.reshape(w, [-1])
+  order = xnp.argsort(x)
+  cdf = xnp.cumsum(w[order])
+  return xnp.interp(xnp.asarray(ps) * (cdf[-1] / 100), cdf, x[order])
+
+
 def resample(t, tp, vp, use_avg=False, eps=_F32_EPS):
   """Re-bin the step function (tp, vp) onto new fenceposts t (by summation).
 

@@ -4,11 +4,15 @@ CLI-compatible with the reference's ``render.py`` (google-research/
 multinerf): multi-job frame striping (render_job_id/render_num_jobs),
 resume-by-skipping-existing-frames, async PNG/TIFF saving, and h264 video
 assembly with the same file naming.
+
+Architecture: a ``FrameStore`` owns every on-disk concern (names, zero
+padding, async writes, existence checks, decoding frames back for video);
+the main loop pipelines frames through the compile-once ``ImageRenderer``
+(next frame rendering on the mesh while this one writes); video assembly
+walks tag specs instead of an inlined per-tag branch ladder.
 """
 
 import concurrent.futures
-import functools
-import glob
 import os
 import time
 
@@ -32,66 +36,175 @@ jax.config.parse_flags_with_absl()
 from multinerf_tpu.utils import cache as _cache
 _cache.enable_persistent_compilation_cache()
 
+# Channels that become videos: tag -> (file extension, u8-encoded?).
+VIDEO_TAGS = {
+    'color': ('png', True),
+    'normals': ('png', True),
+    'acc': ('tiff', False),
+    'distance_mean': ('tiff', False),
+    'distance_median': ('tiff', False),
+}
 
-def create_videos(config, base_dir, out_dir, out_name, num_frames):
-  """Assemble the saved frames into per-channel videos."""
-  names = [n for n in config.checkpoint_dir.split('/') if n]
-  # Last two path parts are experiment and scene name.
-  exp_name, scene_name = names[-2:] if len(names) >= 2 else ('exp', names[-1])
-  video_prefix = f'{scene_name}_{exp_name}_{out_name}'
 
-  zpad = max(3, len(str(num_frames - 1)))
-  idx_to_str = lambda idx: str(idx).zfill(zpad)
+class FrameStore:
+  """All on-disk frame handling for one render job.
 
+  Owns the output directory layout, zero-padded frame naming, optional
+  async write pool, and reading frames back for video assembly.
+  """
+
+  def __init__(self, out_dir, num_frames, use_async=True):
+    self.out_dir = out_dir
+    self._digits = max(3, len(str(num_frames - 1)))
+    self._pool = (concurrent.futures.ThreadPoolExecutor(max_workers=4)
+                  if use_async else None)
+    self._writes = []
+    os.makedirs(out_dir, exist_ok=True)
+
+  def frame_name(self, tag, idx):
+    ext = VIDEO_TAGS.get(tag, ('png',))[0]
+    return os.path.join(self.out_dir, f'{tag}_{idx:0{self._digits}d}.{ext}')
+
+  def has_frame(self, idx):
+    return os.path.exists(self.frame_name('color', idx))
+
+  def count_frames(self, tag='acc'):
+    import glob
+    ext = VIDEO_TAGS[tag][0]
+    return len(glob.glob(os.path.join(self.out_dir, f'{tag}_*.{ext}')))
+
+  def _write(self, fn, *args):
+    if self._pool is not None:
+      self._writes.append(self._pool.submit(fn, *args))
+    else:
+      fn(*args)
+
+  def put(self, rendering, idx):
+    """Queue one frame's channel images for writing."""
+    self._write(io_lib.save_img_u8, rendering['rgb'],
+                self.frame_name('color', idx))
+    if 'normals' in rendering:
+      self._write(io_lib.save_img_u8, rendering['normals'] / 2 + 0.5,
+                  self.frame_name('normals', idx))
+    for tag in ('distance_mean', 'distance_median', 'acc'):
+      self._write(io_lib.save_img_f32, rendering[tag],
+                  self.frame_name(tag, idx))
+
+  def flush(self):
+    """Finish pending writes; re-raise any worker exception."""
+    if self._pool is not None:
+      self._pool.shutdown(wait=True)
+      for w in self._writes:
+        w.result()
+
+  def get(self, tag, idx):
+    return io_lib.load_img(self.frame_name(tag, idx))
+
+
+def video_name_prefix(config, out_name):
+  """'{scene}_{experiment}_{out_name}' from the checkpoint path tail."""
+  parts = [p for p in config.checkpoint_dir.split('/') if p]
+  if len(parts) >= 2:
+    experiment, scene = parts[-2], parts[-1]
+  else:
+    experiment, scene = 'exp', parts[-1]
+  return f'{scene}_{experiment}_{out_name}'
+
+
+def assemble_videos(config, store, base_dir, out_name, num_frames):
+  """Encode each rendered channel's frame sequence into an mp4."""
+  prefix = video_name_prefix(config, out_name)
   os.makedirs(base_dir, exist_ok=True)
 
-  # One example frame gives the shape and the depth normalization range.
-  depth_file = os.path.join(out_dir, f'distance_mean_{idx_to_str(0)}.tiff')
-  depth_frame = io_lib.load_img(depth_file)
-  shape = depth_frame.shape
+  # Depth channels share one display normalization, fit on frame 0.
+  first_depth = store.get('distance_mean', 0)
+  shape = first_depth.shape[:2]
   p = config.render_dist_percentile
-  distance_limits = np.percentile(depth_frame.flatten(), [p, 100 - p])
-  lo, hi = [config.render_dist_curve_fn(x) for x in distance_limits]
-  print(f'Video shape is {shape[:2]}')
+  span = np.percentile(first_depth.flatten(), [p, 100 - p])
+  d_lo, d_hi = [config.render_dist_curve_fn(x) for x in span]
+  print(f'Video shape is {shape}')
 
-  for k in ['color', 'normals', 'acc', 'distance_mean', 'distance_median']:
-    video_file = os.path.join(base_dir, f'{video_prefix}_{k}.mp4')
-    file_ext = 'png' if k in ['color', 'normals'] else 'tiff'
-    file0 = os.path.join(out_dir, f'{k}_{idx_to_str(0)}.{file_ext}')
-    if not os.path.exists(file0):
-      print(f'Images missing for tag {k}')
+  def decode(tag, idx):
+    """Read one stored frame back as float RGB in [0, 1]."""
+    img = store.get(tag, idx)
+    if VIDEO_TAGS[tag][1]:  # u8-encoded channels.
+      return img / 255.0
+    if tag.startswith('distance'):
+      curved = np.asarray(config.render_dist_curve_fn(img))
+      unit = np.clip((curved - min(d_lo, d_hi)) / abs(d_hi - d_lo), 0, 1)
+      return np.asarray(vis._get_cmap('turbo')(unit))[..., :3]
+    return img
+
+  for tag in VIDEO_TAGS:
+    if not os.path.exists(store.frame_name(tag, 0)):
+      print(f'Images missing for tag {tag}')
       continue
+    video_file = os.path.join(base_dir, f'{prefix}_{tag}.mp4')
     print(f'Making video {video_file}...')
     with video_lib.VideoWriter(video_file, fps=config.render_video_fps,
-                               shape=shape[:2],
+                               shape=shape,
                                crf=config.render_video_crf) as writer:
       for idx in range(num_frames):
-        img_file = os.path.join(out_dir,
-                                f'{k}_{idx_to_str(idx)}.{file_ext}')
-        if not os.path.exists(img_file):
-          raise ValueError(f'Image file {img_file} does not exist.')
-        img = io_lib.load_img(img_file)
-        if k in ['color', 'normals']:
-          img = img / 255.0
-        elif k.startswith('distance'):
-          img = np.array(config.render_dist_curve_fn(img))
-          img = np.clip((img - np.minimum(lo, hi)) / np.abs(hi - lo), 0, 1)
-          img = np.array(vis._get_cmap('turbo')(img))[..., :3]
+        if not os.path.exists(store.frame_name(tag, idx)):
+          raise ValueError(
+              f'Image file {store.frame_name(tag, idx)} does not exist.')
+        frame = np.clip(np.nan_to_num(decode(tag, idx)), 0, 1)
+        writer.add_image((frame * 255).astype(np.uint8))
 
-        frame = (np.clip(np.nan_to_num(img), 0.0, 1.0) * 255.0).astype(
-            np.uint8)
-        writer.add_image(frame)
+
+def plan_frames(config, store, num_frames):
+  """This job's frame indices: stripe across jobs, skip finished work.
+
+  A frame is only skipped when its successor in the stripe also exists —
+  the last written frame may be a partial file from a preempted run, so
+  it is always re-rendered (reference render.py resume semantics).
+  """
+  stride = config.render_num_jobs
+  for idx in range(config.render_job_id, num_frames, stride):
+    if store.has_frame(idx) and store.has_frame(idx + stride):
+      print(f'Image {idx}/{num_frames} already exists, skipping')
+      continue
+    yield idx
+
+
+def render_job(config, dataset, state, renderer, store, postprocess_fn):
+  """Render this job's frames, two stages deep: while the mesh renders
+  frame n+1, the host post-processes and writes frame n."""
+  in_flight = None  # (idx, device rendering, dispatch time)
+  frames_done = 0
+
+  def complete(idx, device_rendering, t0):
+    rendering = jax.device_get(device_rendering)
+    print(f'Rendered in {time.time() - t0:0.3f}s')
+    if jax.process_index() == 0:
+      rendering['rgb'] = postprocess_fn(rendering['rgb'])
+      store.put(rendering, idx)
+
+  for idx in plan_frames(config, store, dataset.size):
+    print(f'Evaluating image {idx + 1}/{dataset.size}')
+    t0 = time.time()
+    rays = dataset.generate_ray_batch(idx).rays
+    device_rendering = renderer(state.params, 1.0, rays, fetch=False)
+    if in_flight is not None:
+      complete(*in_flight)
+      frames_done += 1
+    in_flight = (idx, device_rendering, t0)
+  if in_flight is not None:
+    complete(*in_flight)
+    frames_done += 1
+  store.flush()
+  return frames_done
 
 
 def main(unused_argv):
   config = configs.load_config(save_config=False)
-
   dataset = datasets.load_dataset('test', config.data_dir, config)
 
   mesh = mesh_lib.create_mesh()
   key = jax.random.PRNGKey(20200823)
   _, state, render_eval_pfn, _, _ = train_lib.setup_model(config, key,
                                                           mesh=mesh)
+  renderer = models.ImageRenderer(render_eval_pfn, config, mesh=mesh)
 
   if config.rawnerf_mode:
     postprocess_fn = dataset.metadata['postprocess_fn']
@@ -100,7 +213,6 @@ def main(unused_argv):
 
   ckpt = ckpt_lib.CheckpointManager(config.checkpoint_dir, keep=100)
   state = ckpt.restore_latest(state)
-  # Mesh layout: the scanned render closes over params as constants.
   state = jax.device_put(state, mesh_lib.replicated(mesh))
   step = int(state.step)
   print(f'Rendering checkpoint at step {step}.')
@@ -110,73 +222,16 @@ def main(unused_argv):
   base_dir = config.render_dir
   if base_dir is None:
     base_dir = os.path.join(config.checkpoint_dir, 'render')
-  out_dir = os.path.join(base_dir, out_name)
-  os.makedirs(out_dir, exist_ok=True)
+  store = FrameStore(os.path.join(base_dir, out_name), dataset.size,
+                     use_async=config.render_save_async)
 
-  path_fn = lambda x: os.path.join(out_dir, x)
+  render_job(config, dataset, state, renderer, store, postprocess_fn)
 
-  zpad = max(3, len(str(dataset.size - 1)))
-  idx_to_str = lambda idx: str(idx).zfill(zpad)
-
-  if config.render_save_async:
-    async_executor = concurrent.futures.ThreadPoolExecutor(max_workers=4)
-    async_futures = []
-
-    def save_fn(fn, *args, **kwargs):
-      async_futures.append(async_executor.submit(fn, *args, **kwargs))
-  else:
-    def save_fn(fn, *args, **kwargs):
-      fn(*args, **kwargs)
-
-  for idx in range(dataset.size):
-    # Frame striping across independent render jobs.
-    if idx % config.render_num_jobs != config.render_job_id:
-      continue
-    # Resume: if this frame and the next assigned one exist, skip.
-    idx_str = idx_to_str(idx)
-    curr_file = path_fn(f'color_{idx_str}.png')
-    next_idx_str = idx_to_str(idx + config.render_num_jobs)
-    next_file = path_fn(f'color_{next_idx_str}.png')
-    if os.path.exists(curr_file) and os.path.exists(next_file):
-      print(f'Image {idx}/{dataset.size} already exists, skipping')
-      continue
-    print(f'Evaluating image {idx + 1}/{dataset.size}')
-    eval_start_time = time.time()
-    rays = dataset.generate_ray_batch(idx).rays
-    train_frac = 1.0
-    rendering = models.render_image(
-        functools.partial(render_eval_pfn, state.params, train_frac),
-        rays, None, config)
-    print(f'Rendered in {(time.time() - eval_start_time):0.3f}s')
-
-    if jax.process_index() != 0:  # Only record via process 0.
-      continue
-
-    rendering['rgb'] = postprocess_fn(rendering['rgb'])
-
-    save_fn(io_lib.save_img_u8, rendering['rgb'],
-            path_fn(f'color_{idx_str}.png'))
-    if 'normals' in rendering:
-      save_fn(io_lib.save_img_u8, rendering['normals'] / 2.0 + 0.5,
-              path_fn(f'normals_{idx_str}.png'))
-    save_fn(io_lib.save_img_f32, rendering['distance_mean'],
-            path_fn(f'distance_mean_{idx_str}.tiff'))
-    save_fn(io_lib.save_img_f32, rendering['distance_median'],
-            path_fn(f'distance_median_{idx_str}.tiff'))
-    save_fn(io_lib.save_img_f32, rendering['acc'],
-            path_fn(f'acc_{idx_str}.tiff'))
-
-  if config.render_save_async:
-    async_executor.shutdown(wait=True)
-    # Surface exceptions from worker threads.
-    for future in async_futures:
-      future.result()
-
+  # Whichever job finishes the set assembles the videos.
   time.sleep(1)
-  num_files = len(glob.glob(path_fn('acc_*.tiff')))
-  if jax.process_index() == 0 and num_files == dataset.size:
+  if jax.process_index() == 0 and store.count_frames() == dataset.size:
     print(f'All files found, creating videos (job {config.render_job_id}).')
-    create_videos(config, base_dir, out_dir, out_name, dataset.size)
+    assemble_videos(config, store, base_dir, out_name, dataset.size)
 
 
 if __name__ == '__main__':

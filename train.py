@@ -11,7 +11,6 @@ stacking); orbax async checkpoints; batches stream to the mesh as global
 arrays with one-step host->device prefetch.
 """
 
-import functools
 import gc
 import os
 import time
@@ -73,6 +72,8 @@ def main(unused_argv):
   rng, key = jax.random.split(rng)
   setup = train_lib.setup_model(config, key, mesh=mesh, dataset=dataset)
   model, state, render_eval_pfn, train_pstep, lr_fn = setup
+  # In-train test renders reuse one compile-once whole-image renderer.
+  image_renderer = models.ImageRenderer(render_eval_pfn, config, mesh=mesh)
 
   cull_steps = {}  # capacity -> jitted culled step (the gate's ladder).
   cull_ladder = ()
@@ -325,11 +326,9 @@ def main(unused_argv):
     # In-train test-set render.
     if config.train_render_every > 0 and step % config.train_render_every == 0:
       eval_start_time = time.time()
-      eval_variables = state.params
       test_case = next(test_dataset)
-      rendering = models.render_image(
-          functools.partial(render_eval_pfn, eval_variables, train_frac),
-          test_case.rays, rng, config)
+      rendering = image_renderer(state.params, train_frac, test_case.rays,
+                                 rng=rng)
 
       if jax.process_index() == 0:
         eval_time = time.time() - eval_start_time
