@@ -102,7 +102,7 @@ def build(config_overrides, gin_overrides, cull=False):
   batch = types.Batch(rays=rays,
                       rgb=rs.rand(BATCH_SIZE, 3).astype(np.float32))
   batch = mesh_lib.shard_batch_to_global(mesh, batch)
-  return state, train_pstep, batch, (render_pfn, config)
+  return state, train_pstep, batch, (render_pfn, config, mesh)
 
 
 def time_variant(state, train_pstep, batch, windows=2):
@@ -128,25 +128,13 @@ def time_variant(state, train_pstep, batch, windows=2):
   return best
 
 
-def time_render(state, render_ctx, frames=8):
-  """Eval/render-surface throughput: sec/frame on a synthetic 64x64 image.
-
-  Drives the production path (models.render_image over the jitted eval
-  render fn — the single-dispatch scanned-chunk version) with fetch=False
-  and syncs ONCE off a chained scalar, so the number is on-chip render
-  time, not host-link round trips.
-  """
-  import functools
-  from multinerf_tpu.data import types
-  from multinerf_tpu.models import nerf as models
-
-  render_pfn, config = render_ctx
-  rs = np.random.RandomState(2)
-  h = w = 64
+def make_frame_rays(h, w, seed=2):
+  """Synthetic [H, W] frame rays with realistic 360 geometry."""
+  rs = np.random.RandomState(seed)
   n = h * w
   d = rs.randn(n, 3).astype(np.float32)
   d /= np.linalg.norm(d, axis=-1, keepdims=True)
-  rays = types.Rays(
+  return dict(
       origins=(rs.randn(n, 3).astype(np.float32) * 0.1).reshape(h, w, 3),
       directions=d.reshape(h, w, 3),
       viewdirs=d.reshape(h, w, 3),
@@ -158,18 +146,30 @@ def time_render(state, render_ctx, frames=8):
       cam_idx=np.zeros((h, w, 1), np.int32),
   )
 
-  def render_once():
-    rendering = models.render_image(
-        functools.partial(render_pfn, state.params, 1.0), rays, None,
-        config, verbose=False, fetch=False)
-    return jnp.mean(rendering['rgb'])
 
-  float(render_once())  # Compile + sync.
-  t0 = time.perf_counter()
-  acc = [render_once() for _ in range(frames)]
-  float(jnp.stack(acc).sum())  # Single sync point.
-  sec = (time.perf_counter() - t0) / frames
-  return sec, h * w / sec
+def time_render(state, render_ctx, sizes=(64, 512), frames=6):
+  """Eval/render-surface: PRODUCTION sec/frame per frame size.
+
+  Drives the exact path eval.py/render.py drive — the compile-once
+  ImageRenderer (one device dispatch per frame) INCLUDING the host fetch
+  of the full rendering dict.  The reference arm (time_reference_render)
+  runs its own production path on identical frames, making this a fair
+  production-vs-production A/B (VERDICT r3 #1).
+  """
+  from multinerf_tpu.data import types
+  from multinerf_tpu.models import nerf as models
+
+  render_pfn, config, mesh = render_ctx
+  renderer = models.ImageRenderer(render_pfn, config, mesh=mesh)
+  out = {}
+  for s in sizes:
+    rays = types.Rays(**make_frame_rays(s, s))
+    renderer(state.params, 1.0, rays)  # Compile + sync.
+    t0 = time.perf_counter()
+    for _ in range(frames):
+      renderer(state.params, 1.0, rays)
+    out[s] = (time.perf_counter() - t0) / frames
+  return out
 
 
 def time_reference_impl():
@@ -199,30 +199,28 @@ def time_reference_impl():
   return best
 
 
-def time_reference_render(frames=8):
-  """The reference's pmap eval-render fn timed on a 64x64 frame's rays.
+def time_reference_render(sizes=(64, 512), frames=6):
+  """The reference's PRODUCTION render path on the same frames as ours.
 
-  Generous to the reference: this times ONLY its on-device pmap render
-  (train_utils.py:377-396) with the same chained-scalar sync protocol —
-  its render_image additionally unshards every chunk to host
-  (models.py:625-706), which a remote-attached host link would bill at a
-  round trip per chunk.
+  Runs the actual ``internal/models.py:625-706`` chunked host loop around
+  the reference's pmap render fn — per-chunk dispatch, per-chunk unshard,
+  host concatenation — i.e. exactly what reference eval.py:101 executes,
+  on identical synthetic frames to time_render's.
   """
   from multinerf_tpu import reference_import
   if not reference_import.reference_available():
     return None
-  render_pfn, variables, sharded_rays, _ = (
-      reference_import.build_reference_360_render(64 * 64))
-
-  def render_once():
-    renderings, _ = render_pfn(variables, 1.0, None, sharded_rays)
-    return jnp.mean(renderings[-1]['rgb'])
-
-  float(render_once())  # Compile + sync.
-  t0 = time.perf_counter()
-  acc = [render_once() for _ in range(frames)]
-  float(jnp.stack(acc).sum())  # Single sync point.
-  return (time.perf_counter() - t0) / frames
+  render_frame, ref, _ = (
+      reference_import.build_reference_360_image_render())
+  out = {}
+  for s in sizes:
+    rays = ref.utils.Rays(**make_frame_rays(s, s))
+    render_frame(rays)  # Compile + sync.
+    t0 = time.perf_counter()
+    for _ in range(frames):
+      render_frame(rays)
+    out[s] = (time.perf_counter() - t0) / frames
+  return out
 
 
 def main():
@@ -240,7 +238,7 @@ def main():
   # Render BEFORE the train timing: the jitted step donates (rng, state)
   # (train_lib.py donate_argnums), so time_variant's first call deletes
   # this state's buffers on backends that honor donation.
-  render_sec_per_frame, render_rays_per_sec = time_render(state, render_ctx)
+  render_secs = time_render(state, render_ctx)
   rays_per_sec = time_variant(state, step_fn, batch)
 
   # Identical-numerics variant (f32 trunk activations, like the
@@ -284,56 +282,62 @@ def main():
   # Reference-implementation path: the reference's own pmap step, imported
   # from the read-only checkout and executed on the same chip.
   ref_impl_rays_per_sec = time_reference_impl()
-  ref_render_sec_per_frame = time_reference_render()
+  ref_render_secs = time_reference_render()
 
   n_chips = jax.device_count()
   denom = ref_impl_rays_per_sec or ref_algo_rays_per_sec
   result = {
-      # Headline: the occupancy-culled step at the quality-validated
-      # sparse-scene capacity (docs/cull_quality_dummy_scatter*.json:
-      # culling fully engaged, held-out PSNR parity with the uncull run;
-      # the ladder gate in train.py automatically selects a coarser rung
-      # or uncull on scenes whose measured occupancy exceeds it).  This is
-      # the metric VERDICT.md round 1 set for the BASELINE.md >= 3x
-      # north-star.
-      'metric': 'train_rays_per_sec_per_chip_360_culled',
-      'value': round(culled_rays_per_sec / n_chips, 1),
+      # HEADLINE: the unconditional train step (bf16 trunk, no culling) —
+      # the number that describes the BASELINE.md workload.  All nine
+      # BASELINE scenes are unbounded 360 captures; on that scene class
+      # the measured keep fraction is ~0.92 and the culling gate correctly
+      # refuses to engage (docs/cull_quality_dummy_unbounded_bf16.json),
+      # so the culled ladder below is sparsity-conditional upside, not the
+      # expected speedup (VERDICT r3 #4).
+      'metric': 'train_rays_per_sec_per_chip_360',
+      'value': round(rays_per_sec / n_chips, 1),
       'unit': 'rays/sec/chip',
       # vs_baseline: speedup over the ACTUAL reference implementation —
       # the BASELINE.md north-star denominator (train.py:185-186
       # train_rays_per_sec).  Falls back to the reference-algorithms
       # harness if the checkout is missing.
-      'vs_baseline': round(culled_rays_per_sec / denom, 3),
-      'cull_capacity_frac': cull_capacity,
-      # The gate's capacity ladder: what a scene measuring keep<=cap
-      # sustains.  The floor for keep<=0.67 scenes.
-      'ladder_vs_baseline': {
-          str(cap): round(v / denom, 3) for cap, v in ladder.items()},
-      # The uncull step (bf16 trunk — the shipping config; no culling).
-      'uncull_rays_per_sec_per_chip': round(rays_per_sec / n_chips, 1),
-      'vs_baseline_uncull': round(rays_per_sec / denom, 3),
+      'vs_baseline': round(rays_per_sec / denom, 3),
+      'expected_speedup_baseline_scenes': round(rays_per_sec / denom, 3),
       # f32-trunk variant: numerics formulation identical to the
       # reference end to end.
       'vs_baseline_uncull_f32': round(uncull_f32_rays_per_sec / denom, 3),
       'vs_reference_algos_uncull_f32': round(
           uncull_f32_rays_per_sec / ref_algo_rays_per_sec, 3),
-      # Eval/render surface (models.render_image, 64x64 frame, bf16 trunk,
-      # single-dispatch scanned chunks; reference has no render benchmark
-      # — its eval.py only logs per-image wall seconds, eval.py:115-116).
-      'render_sec_per_frame_64x64': round(render_sec_per_frame, 4),
-      'render_rays_per_sec_per_chip': round(
-          render_rays_per_sec / n_chips, 1),
+      # CONDITIONAL upside: the occupancy-culled capacity ladder.  A scene
+      # must MEASURE keep<=cap for the self-gate to engage a rung
+      # (train.py ladder gate); quality-validated on sparse scenes at 0.33
+      # (docs/cull_quality_dummy_scatter*.json: culling fully engaged,
+      # held-out PSNR parity).  Unbounded-with-background scenes do not
+      # qualify — see the headline comment.
+      'culled_rays_per_sec_per_chip': round(culled_rays_per_sec / n_chips,
+                                            1),
+      'cull_capacity_frac': cull_capacity,
+      'cull_precondition': 'measured keep fraction <= capacity rung',
+      'ladder_vs_baseline': {
+          str(cap): round(v / denom, 3) for cap, v in ladder.items()},
+      'vs_baseline_culled': round(culled_rays_per_sec / denom, 3),
   }
-  if ref_render_sec_per_frame is not None:
-    result['reference_render_sec_per_frame_64x64'] = round(
-        ref_render_sec_per_frame, 4)
-    result['vs_reference_render'] = round(
-        ref_render_sec_per_frame / render_sec_per_frame, 3)
+  # Eval/render surface: production-vs-production A/B on identical frames
+  # (ours: compile-once ImageRenderer incl. host fetch; reference: its
+  # chunked render_image host loop, models.py:625-706 there).
+  for s, sec in render_secs.items():
+    result[f'render_sec_per_frame_{s}x{s}'] = round(sec, 4)
+    result[f'render_rays_per_sec_{s}x{s}'] = round(s * s / sec, 1)
+  if ref_render_secs is not None:
+    for s, sec in ref_render_secs.items():
+      result[f'reference_render_sec_per_frame_{s}x{s}'] = round(sec, 4)
+      result[f'vs_reference_render_{s}x{s}'] = round(
+          sec / render_secs[s], 3)
   if ref_impl_rays_per_sec is not None:
     result['vs_reference_impl'] = round(
-        culled_rays_per_sec / ref_impl_rays_per_sec, 3)
-    result['vs_reference_impl_uncull'] = round(
         rays_per_sec / ref_impl_rays_per_sec, 3)
+    result['vs_reference_impl_culled'] = round(
+        culled_rays_per_sec / ref_impl_rays_per_sec, 3)
     result['reference_impl_rays_per_sec_per_chip'] = round(
         ref_impl_rays_per_sec / n_chips, 1)
   print(json.dumps(result))

@@ -16,7 +16,6 @@ Usage: python scripts/cull_quality_experiment.py \
 """
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -106,6 +105,13 @@ def run(steps, capacity, eval_every, batch_size, loader='dummy_sphere',
     render_cull_pfn = train_lib.create_render_fn(model, mesh, cull=True)
   state = jax.device_put(state, mesh_lib.replicated(mesh))
 
+  # Compile-once whole-image renderers (one per render fn).
+  renderers = {id(render_pfn): models.ImageRenderer(render_pfn, config,
+                                                    mesh=mesh)}
+  if render_cull_pfn is not None:
+    renderers[id(render_cull_pfn)] = models.ImageRenderer(
+        render_cull_pfn, config, mesh=mesh)
+
   curve = []
   keep_frac = None
   keep_trace = []  # (step, measured keep fraction) at each grid refresh.
@@ -136,9 +142,8 @@ def run(steps, capacity, eval_every, batch_size, loader='dummy_sphere',
       if 'occ_keep_frac' in stats:
         keep_frac = float(stats['occ_keep_frac'])
       def _psnr(pfn):
-        rendering = models.render_image(
-            functools.partial(pfn, state.params, float(tf)),
-            test_case.rays, None, config, verbose=False)
+        rendering = renderers[id(pfn)](state.params, float(tf),
+                                       test_case.rays)
         mse = float(np.mean((rendering['rgb'] - test_case.rgb) ** 2))
         return round(-10 * np.log10(mse), 3)
       entry = {'step': step, 'test_psnr': _psnr(render_pfn),

@@ -1,19 +1,31 @@
 """Same-data PSNR head-to-head: this framework vs the reference stack.
 
-Trains BOTH implementations on IDENTICAL batches of the DummySphere scene
-(real parallax, novel-view test cameras on a different ring), starting from
-IDENTICAL initial weights (the parameter trees are structurally equal by
-construction — tests/test_model_parity.py asserts it), and evaluates
-held-out novel-view PSNR through each stack's own full render path at
-checkpoints.  This is the strongest quality-parity evidence obtainable
-without the paper datasets: if the two frameworks are the same model +
-optimizer + losses, their PSNR-vs-step curves must lie within sampling
-noise of each other.
+Trains BOTH implementations on IDENTICAL batches of a synthetic scene
+(real parallax, novel-view test cameras on a different ring), starting
+from IDENTICAL initial weights (the parameter trees are structurally
+equal by construction — tests/test_model_parity.py asserts it), and
+evaluates held-out novel-view PSNR through each stack's own full
+production render path at checkpoints.  This is the strongest
+quality-parity evidence obtainable without the paper datasets: if the
+two frameworks are the same model + optimizer + losses, their
+PSNR-vs-step curves must lie within sampling noise of each other.
+
+Two architectures:
+  --arch debug      2-level 2x64/4x128 hierarchy on dummy_sphere 32x32
+                    (fast CI-grade signal).
+  --arch flagship   the REAL 360 architecture (3 levels, PropMLP 4x256,
+                    NerfMLP 8x1024, contraction warp, reciprocal raydist,
+                    opaque background, batch 4096) on dummy_scatter or
+                    dummy_unbounded — the VERDICT r3 flagship-scale
+                    parity ask.
 
 The reference implementation is imported read-only from /root/reference
 (see multinerf_tpu/reference_import.py) and executed, never copied.
 
-Usage:  python scripts/head_to_head.py [--steps 5000] [--out docs]
+Usage:
+  python scripts/head_to_head.py [--arch debug] [--steps 5000]
+  python scripts/head_to_head.py --arch flagship --loader dummy_unbounded \
+      --steps 10000 [--out docs]
 """
 
 import argparse
@@ -32,39 +44,56 @@ import numpy as np
 from multinerf_tpu.utils import cache as _cache
 _cache.enable_persistent_compilation_cache()
 
-# Both stacks use the debug.gin model sizes on a 2-level hierarchy.
-MLP_SIZES = dict(prop_depth=2, prop_width=64, nerf_depth=4, nerf_width=128)
-MODEL_KW = dict(num_levels=2, num_prop_samples=32, num_nerf_samples=16)
-NEAR, FAR = 2.0, 6.0
-BATCH_SIZE = 2048
-LR_KW = dict(lr_init=5e-4, lr_final=5e-6, lr_delay_steps=500,
-             lr_delay_mult=0.1)
+ARCHS = {
+    'debug': dict(
+        prop_depth=2, prop_width=64, nerf_depth=4, nerf_width=128,
+        num_levels=2, num_prop_samples=32, num_nerf_samples=16,
+        contract=False, loader='dummy_sphere', near=2.0, far=6.0,
+        batch_size=2048,
+        lr=dict(lr_init=5e-4, lr_final=5e-6, lr_delay_steps=500,
+                lr_delay_mult=0.1)),
+    'flagship': dict(
+        prop_depth=4, prop_width=256, nerf_depth=8, nerf_width=1024,
+        num_levels=3, num_prop_samples=64, num_nerf_samples=32,
+        contract=True, loader='dummy_unbounded', near=0.2, far=1e6,
+        batch_size=4096,
+        lr=dict(lr_init=2e-3, lr_final=2e-5, lr_delay_steps=512,
+                lr_delay_mult=0.01)),
+}
 
 
-def build_ours(max_steps):
+def build_ours(arch, loader, max_steps):
   from multinerf_tpu import configs as configs_lib
   from multinerf_tpu import ginlite
   from multinerf_tpu import train_lib
   from multinerf_tpu.data import datasets
   from multinerf_tpu.parallel import mesh as mesh_lib
 
-  ginlite.clear_config()
-  ginlite.parse_config_files_and_bindings([], [
-      f'PropMLP.net_depth = {MLP_SIZES["prop_depth"]}',
-      f'PropMLP.net_width = {MLP_SIZES["prop_width"]}',
+  bindings = [
+      f'PropMLP.net_depth = {arch["prop_depth"]}',
+      f'PropMLP.net_width = {arch["prop_width"]}',
       'PropMLP.disable_density_normals = True',
       'PropMLP.disable_rgb = True',
-      f'NerfMLP.net_depth = {MLP_SIZES["nerf_depth"]}',
-      f'NerfMLP.net_width = {MLP_SIZES["nerf_width"]}',
+      f'NerfMLP.net_depth = {arch["nerf_depth"]}',
+      f'NerfMLP.net_width = {arch["nerf_width"]}',
       'NerfMLP.disable_density_normals = True',
-      f'Model.num_levels = {MODEL_KW["num_levels"]}',
-      f'Model.num_prop_samples = {MODEL_KW["num_prop_samples"]}',
-      f'Model.num_nerf_samples = {MODEL_KW["num_nerf_samples"]}',
-  ])
+      f'Model.num_levels = {arch["num_levels"]}',
+      f'Model.num_prop_samples = {arch["num_prop_samples"]}',
+      f'Model.num_nerf_samples = {arch["num_nerf_samples"]}',
+  ]
+  if arch['contract']:
+    bindings += [
+        'Model.raydist_fn = @jnp.reciprocal',
+        'Model.opaque_background = True',
+        'PropMLP.warp_fn = @coord.contract',
+        'NerfMLP.warp_fn = @coord.contract',
+    ]
+  ginlite.clear_config()
+  ginlite.parse_config_files_and_bindings([], bindings)
   config = configs_lib.Config(
-      dataset_loader='dummy_sphere', batch_size=BATCH_SIZE,
-      render_chunk_size=4096, data_loss_type='mse', near=NEAR, far=FAR,
-      max_steps=max_steps, **LR_KW)
+      dataset_loader=loader, batch_size=arch['batch_size'],
+      render_chunk_size=8192, data_loss_type='mse', near=arch['near'],
+      far=arch['far'], max_steps=max_steps, **arch['lr'])
   mesh = mesh_lib.create_mesh()
   train_data = datasets.load_dataset('train', '', config)
   test_data = datasets.load_dataset('test', '', config)
@@ -75,7 +104,7 @@ def build_ours(max_steps):
               render_eval_pfn=render_eval_pfn, train_pstep=train_pstep)
 
 
-def build_reference(max_steps):
+def build_reference(arch, max_steps):
   from multinerf_tpu import reference_import
   ref = reference_import.import_reference()
 
@@ -83,35 +112,37 @@ def build_reference(max_steps):
   # the parameter trees) match ours exactly.
   nerf_cls = type('NerfMLP', (ref.models.MLP,), {})
   prop_cls = type('PropMLP', (ref.models.MLP,), {})
-  nerf_kw = dict(net_depth=MLP_SIZES['nerf_depth'],
-                 net_width=MLP_SIZES['nerf_width'],
+  nerf_kw = dict(net_depth=arch['nerf_depth'], net_width=arch['nerf_width'],
                  disable_density_normals=True)
-  prop_kw = dict(net_depth=MLP_SIZES['prop_depth'],
-                 net_width=MLP_SIZES['prop_width'],
+  prop_kw = dict(net_depth=arch['prop_depth'], net_width=arch['prop_width'],
                  disable_density_normals=True, disable_rgb=True)
+  model_kw = dict(num_levels=arch['num_levels'],
+                  num_prop_samples=arch['num_prop_samples'],
+                  num_nerf_samples=arch['num_nerf_samples'])
+  if arch['contract']:
+    nerf_kw['warp_fn'] = ref.coord.contract
+    prop_kw['warp_fn'] = ref.coord.contract
+    model_kw.update(raydist_fn=jnp.reciprocal, opaque_background=True)
   ref.models.NerfMLP = lambda: nerf_cls(**nerf_kw)
   ref.models.PropMLP = lambda: prop_cls(**prop_kw)
 
   config = ref.configs.Config(
-      near=NEAR, far=FAR, batch_size=BATCH_SIZE, render_chunk_size=4096,
-      data_loss_type='mse', max_steps=max_steps, **LR_KW)
-  model = ref.models.Model(config=config, **MODEL_KW)
+      near=arch['near'], far=arch['far'], batch_size=arch['batch_size'],
+      render_chunk_size=8192, data_loss_type='mse', max_steps=max_steps,
+      **arch['lr'])
+  model = ref.models.Model(config=config, **model_kw)
   return ref, config, model
-
-
-def to_ref_batch(ref, batch):
-  """Convert our numpy Batch to the reference's Batch (same field names)."""
-  fields = ['origins', 'directions', 'viewdirs', 'radii', 'imageplane',
-            'lossmult', 'near', 'far', 'cam_idx']
-  rays = ref.utils.Rays(**{f: np.asarray(getattr(batch.rays, f))
-                           for f in fields})
-  return ref.utils.Batch(rays=rays, rgb=np.asarray(batch.rgb))
 
 
 def to_ref_rays(ref, rays):
   fields = ['origins', 'directions', 'viewdirs', 'radii', 'imageplane',
             'lossmult', 'near', 'far', 'cam_idx']
   return ref.utils.Rays(**{f: np.asarray(getattr(rays, f)) for f in fields})
+
+
+def to_ref_batch(ref, batch):
+  return ref.utils.Batch(rays=to_ref_rays(ref, batch.rays),
+                         rgb=np.asarray(batch.rgb))
 
 
 def psnr(pred, gt):
@@ -121,17 +152,26 @@ def psnr(pred, gt):
 
 def main():
   parser = argparse.ArgumentParser()
+  parser.add_argument('--arch', choices=list(ARCHS), default='debug')
+  parser.add_argument('--loader', default=None,
+                      help='Override the arch default dataset loader.')
   parser.add_argument('--steps', type=int, default=5000)
   parser.add_argument('--eval_every', type=int, default=500)
+  parser.add_argument('--eval_frames', type=int, default=8,
+                      help='Held-out frames per intermediate eval '
+                           '(the final eval always uses every test frame).')
   parser.add_argument('--out', default='docs')
   args = parser.parse_args()
+
+  arch = ARCHS[args.arch]
+  loader = args.loader or arch['loader']
 
   from multinerf_tpu.models import nerf as our_models
   from multinerf_tpu.parallel import mesh as mesh_lib
   import flax
 
-  ours = build_ours(args.steps)
-  ref, ref_config, ref_model = build_reference(args.steps)
+  ours = build_ours(arch, loader, args.steps)
+  ref, ref_config, ref_model = build_reference(arch, args.steps)
 
   # IDENTICAL initial weights: init the reference model, drop its parameter
   # tree into both stacks (structures match by construction).
@@ -165,23 +205,22 @@ def main():
   ref_rngs = jax.random.split(jax.random.PRNGKey(30),
                               jax.local_device_count())
 
+  our_renderer = our_models.ImageRenderer(ours['render_eval_pfn'],
+                                          ours['config'], mesh=mesh)
+
   our_rng = jax.random.PRNGKey(31)
   history = []
   wall = {'ours': 0.0, 'reference': 0.0}
 
-  def eval_psnr_ours(state):
-    vals = []
-    for tc in test_cases:
-      rendering = our_models.render_image(
-          functools.partial(ours['render_eval_pfn'], state.params, 1.0),
-          tc.rays, None, ours['config'], verbose=False)
-      vals.append(psnr(rendering['rgb'], tc.rgb))
-    return float(np.mean(vals))
+  def eval_psnr_ours(state, cases):
+    return float(np.mean([
+        psnr(our_renderer(state.params, 1.0, tc.rays)['rgb'], tc.rgb)
+        for tc in cases]))
 
-  def eval_psnr_ref(state):
+  def eval_psnr_ref(state, cases):
     params = flax.jax_utils.unreplicate(state).params
     vals = []
-    for tc in test_cases:
+    for tc in cases:
       rendering = ref.models.render_image(
           functools.partial(ref_render_pfn, params, 1.0),
           to_ref_rays(ref, tc.rays), None, ref_config, verbose=False)
@@ -206,30 +245,41 @@ def main():
     wall['reference'] += time.perf_counter() - t0
 
     if step % args.eval_every == 0 or step == args.steps:
+      final = step == args.steps
+      cases = test_cases if final else test_cases[:args.eval_frames]
       entry = {
           'step': step,
           'ours_train_loss': our_loss,
           'ref_train_loss': ref_loss,
-          'ours_test_psnr': eval_psnr_ours(our_state),
-          'ref_test_psnr': eval_psnr_ref(ref_state),
+          'ours_test_psnr': eval_psnr_ours(our_state, cases),
+          'ref_test_psnr': eval_psnr_ref(ref_state, cases),
+          'eval_frames': len(cases),
       }
       history.append(entry)
       print(json.dumps(entry), flush=True)
 
   result = {
-      'scene': 'dummy_sphere (12 train views, 12 novel test views, 32x32)',
-      'model': {**MLP_SIZES, **MODEL_KW},
-      'batch_size': BATCH_SIZE,
+      'arch': args.arch,
+      'scene': loader,
+      'test_views': len(test_cases),
+      'resolution': int(test_cases[0].rays.origins.shape[0]),
+      'model': {k: arch[k] for k in
+                ('prop_depth', 'prop_width', 'nerf_depth', 'nerf_width',
+                 'num_levels', 'num_prop_samples', 'num_nerf_samples',
+                 'contract')},
+      'batch_size': arch['batch_size'],
       'steps': args.steps,
       'identical_init': True,
       'identical_batches': True,
+      'own_render_paths': True,
       'history': history,
       'train_sec': {k: round(v, 1) for k, v in wall.items()},
       'final_psnr_gap_db': round(history[-1]['ours_test_psnr'] -
                                  history[-1]['ref_test_psnr'], 3),
   }
   os.makedirs(args.out, exist_ok=True)
-  out_path = os.path.join(args.out, 'HEAD_TO_HEAD.json')
+  suffix = '' if args.arch == 'debug' else f'_{args.arch}_{loader}'.upper()
+  out_path = os.path.join(args.out, f'HEAD_TO_HEAD{suffix}.json')
   with open(out_path, 'w') as f:
     json.dump(result, f, indent=2)
   print(f'wrote {out_path}')

@@ -17,7 +17,6 @@ Prints one JSON line per arm: {"trunk_dtype", "sec_per_frame",
 """
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -71,16 +70,15 @@ def run_arm(trunk_dtype, args):
   else:
     step = 0
 
-  # Pre-stage the test cases (rays stay host-side pytrees; render_image
-  # slices them per chunk) and push ground truth to device so the timed
-  # loop's only host->device traffic is ray chunks.
+  # Pre-stage the test cases (rays stay host-side pytrees) and push ground
+  # truth to device so the timed loop's only host->device traffic is ray
+  # frames.  One compile-once renderer serves every frame.
   cases = [c for _, c in zip(range(args.frames), test_dataset)]
   gts = [jax.device_put(jnp.asarray(c.rgb)) for c in cases]
+  renderer = models.ImageRenderer(render_pfn, config, mesh=mesh)
 
   def render_mse(case, gt):
-    rendering = models.render_image(
-        functools.partial(render_pfn, state.params, 1.0),
-        case.rays, None, config, verbose=False, fetch=False)
+    rendering = renderer(state.params, 1.0, case.rays, fetch=False)
     return jnp.mean((rendering['rgb'] - gt) ** 2)  # Device scalar.
 
   # Warmup/compile frame (also syncs the tunnel).
