@@ -255,29 +255,31 @@ def load_raw_dataset(split: dtypes.DataSplit, data_dir: str,
   else:
     shutter_ratio = 1.0
 
-  # Index images by unique shutter speed, brightest (slowest) first, and
-  # express exposures relative to the brightest.
-  shutter_speeds = meta['ShutterSpeed']
-  unique_shutters = np.sort(np.unique(shutter_speeds))[::-1]
-  exposure_idx = np.zeros_like(shutter_speeds, dtype=np.int32)
-  for i, shutter in enumerate(unique_shutters):
-    exposure_idx[shutter_speeds == shutter] = i
-  meta['exposure_idx'] = exposure_idx
-  meta['unique_shutters'] = unique_shutters
-  meta['exposure_values'] = shutter_speeds / unique_shutters[0]
+  # Bucket the capture's shutter speeds, brightest (slowest) first; each
+  # image gets its bucket index and an exposure value relative to the
+  # brightest bucket.  (The exposure_* key names are the contract the
+  # drivers' TB introspection and the learned-scaling embed read.)
+  shutters = meta['ShutterSpeed']
+  by_brightness = np.sort(np.unique(shutters))[::-1]
+  meta['unique_shutters'] = by_brightness
+  # Rank within the descending bucket list == first index with that value.
+  meta['exposure_idx'] = np.searchsorted(
+      -by_brightness, -shutters).astype(np.int32)
+  meta['exposure_values'] = shutters / by_brightness[0]
 
-  # Rescale sensor values to [0, 1] (plus noise).
-  blacklevel = meta['BlackLevel'].reshape(-1, 1, 1)
-  whitelevel = meta['WhiteLevel'].reshape(-1, 1, 1)
-  images = (raws - blacklevel) / (whitelevel - blacklevel) * shutter_ratio
+  # Sensor counts -> [0, 1]: subtract the per-image black level, scale by
+  # the sensor's dynamic range, then the HDR+ shutter-ratio correction.
+  black = meta['BlackLevel'][:, None, None]
+  white = meta['WhiteLevel'][:, None, None]
+  images = (raws - black) / (white - black) * shutter_ratio
 
-  # Exposure level for gamma mapping, always from full-res image 0.
-  image0_raw_demosaic = np.array(bilinear_demosaic_jax(images[0]))
-  image0_rgb = image0_raw_demosaic @ meta['cam2rgb'][0].T
-  meta['exposure'] = np.percentile(image0_rgb, exposure_percentile)
-  meta['exposure_levels'] = {
-      p: np.percentile(image0_rgb, p) for p in _PERCENTILE_LIST
-  }
+  # Gamma-mapping exposure anchors come from the FULL-RES first image
+  # (stable across downsampling factors): demosaic it, rotate to linear
+  # RGB, take brightness percentiles.
+  rgb0 = np.array(bilinear_demosaic_jax(images[0])) @ meta['cam2rgb'][0].T
+  meta['exposure'] = np.percentile(rgb0, exposure_percentile)
+  meta['exposure_levels'] = {p: np.percentile(rgb0, p)
+                             for p in _PERCENTILE_LIST}
 
   cam2rgb0 = meta['cam2rgb'][0]
   meta['postprocess_fn'] = (

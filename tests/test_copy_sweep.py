@@ -37,7 +37,7 @@ FORCED_CONTENT_CAPS = {
     'multinerf_tpu/train_lib.py':
         (0.50, 'loss formulas + config-gated loss assembly are semantics'),
     'multinerf_tpu/data/raw.py':
-        (0.49, 'EXIF/metadata field semantics force the remaining lines'),
+        (0.43, 'EXIF/metadata field semantics force the remaining lines'),
     'multinerf_tpu/ops/rendering.py':
         (0.46, 'Eq.7 closed-form moments: the formulas are the spec'),
     'multinerf_tpu/utils/io.py':
