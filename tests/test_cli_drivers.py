@@ -95,6 +95,21 @@ def test_eval_cli_writes_metrics(trained_ckpt_dir):
   assert 'color_000.png' in names, names
 
 
+def test_eval_cli_tb_showcase_branch(trained_ckpt_dir):
+  """The polling/TB branch: showcases render through the numpy vis suite
+  and summaries land in an eval/ event file (round-4 rewrite coverage)."""
+  ckpt_dir, common = trained_ckpt_dir
+  _run('eval.py', common + [
+      'Config.eval_only_once = False',
+      'Config.early_exit_steps = 10',  # One pass, then the step gate exits.
+      'Config.eval_dataset_limit = 2',
+      'Config.num_showcase_images = 1',
+  ])
+  eval_tb_dir = os.path.join(ckpt_dir, 'eval')
+  assert os.path.isdir(eval_tb_dir)
+  assert any(n.startswith('events') for n in os.listdir(eval_tb_dir))
+
+
 def test_render_cli_writes_frames(trained_ckpt_dir):
   ckpt_dir, common = trained_ckpt_dir
   _run('render.py', common + [
