@@ -63,6 +63,11 @@ def parse_xplane(path, top=40):
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument('--cull', action='store_true')
+  ap.add_argument('--render', action='store_true',
+                  help='Profile the eval/render forward (whole-frame '
+                       'ImageRenderer dispatch) instead of the train step.')
+  ap.add_argument('--frame', type=int, default=512,
+                  help='Frame edge length for --render.')
   ap.add_argument('--out', default='/tmp/prof_step')
   ap.add_argument('--top', type=int, default=40)
   ap.add_argument('--steps', type=int, default=3)
@@ -82,18 +87,31 @@ def main():
   overrides = {}
   if args.cull:
     overrides = {'occupancy_culling': True, 'occupancy_capacity_frac': 0.33}
-  state, step_fn, batch, _ = bench.build(overrides, BF16, cull=args.cull)
-
-  rng = jax.random.PRNGKey(1)
-  for _ in range(3):  # Compile + warm.
-    state, stats, rng = step_fn(rng, state, batch, 0.5, 1.0)
-  float(stats['loss'])
+  state, step_fn, batch, render_ctx = bench.build(overrides, BF16,
+                                                  cull=args.cull)
 
   os.makedirs(args.out, exist_ok=True)
-  with jax.profiler.trace(args.out):
-    for _ in range(args.steps):
+  if args.render:
+    from multinerf_tpu.data import types
+    from multinerf_tpu.models import nerf as models
+    render_pfn, config, mesh = render_ctx
+    renderer = models.ImageRenderer(render_pfn, config, mesh=mesh)
+    rays = types.Rays(**bench.make_frame_rays(args.frame, args.frame))
+    renderer(state.params, 1.0, rays)  # Compile + warm (+ sync).
+    with jax.profiler.trace(args.out):
+      for _ in range(args.steps - 1):
+        renderer(state.params, 1.0, rays, fetch=False)
+      renderer(state.params, 1.0, rays)  # Final fetch is the sync point.
+  else:
+    rng = jax.random.PRNGKey(1)
+    for _ in range(3):  # Compile + warm.
       state, stats, rng = step_fn(rng, state, batch, 0.5, 1.0)
     float(stats['loss'])
+
+    with jax.profiler.trace(args.out):
+      for _ in range(args.steps):
+        state, stats, rng = step_fn(rng, state, batch, 0.5, 1.0)
+      float(stats['loss'])
 
   paths = sorted(glob.glob(args.out + '/**/*.xplane.pb', recursive=True),
                  key=os.path.getmtime)
