@@ -49,6 +49,61 @@ def prefetch_to_mesh(iterator, mesh, size=2):
     yield buf.popleft()
 
 
+def in_train_test_render(step, renderer, state, train_frac, rng,
+                         test_dataset, config, summary_writer,
+                         metric_harness, postprocess_fn):
+  """Render one held-out view mid-training; log speed, metrics, vis suite.
+
+  The scalar/image tag names (test_rays_per_sec, train_metrics/*,
+  test_true_*, test_output_*) and console lines are the observability
+  contract shared with the reference trainer.
+  """
+  t0 = time.time()
+  test_case = next(test_dataset)
+  rendering = renderer(state.params, train_frac, test_case.rays, rng=rng)
+  if jax.process_index() != 0:
+    return
+  dt = time.time() - t0
+  n_rays = int(np.prod(test_case.rays.directions.shape[:-1]))
+  summary_writer.scalar('test_rays_per_sec', n_rays / dt, step)
+  print(f'Eval {step}: {dt:0.3f}s., {n_rays / dt:0.0f} rays/sec')
+
+  t0 = time.time()
+  metric = metric_harness(postprocess_fn(rendering['rgb']),
+                          postprocess_fn(test_case.rgb))
+  print(f'Metrics computed in {time.time() - t0:0.3f}s')
+  for name, val in metric.items():
+    if not np.isnan(val):
+      print(f'{name} = {val:.4f}')
+      summary_writer.scalar('train_metrics/' + name, val, step)
+
+  if config.vis_decimate > 1:
+    d = config.vis_decimate
+    thin = lambda x: None if x is None else x[::d, ::d]
+    rendering = jax.tree_util.tree_map(thin, rendering)
+    test_case = jax.tree_util.tree_map(thin, test_case)
+  t0 = time.time()
+  suite = vis.visualize_suite(rendering, test_case.rays)
+  print(f'Visualized in {time.time() - t0:0.3f}s')
+
+  # Ground-truth comparisons next to the suite, plus RawNeRF's extra
+  # tone-mapping ladder when active.
+  truths = {'test_true_color': test_case.rgb}
+  if config.compute_normal_metrics:
+    truths['test_true_normals'] = test_case.normals / 2 + 0.5
+  if config.rawnerf_mode:
+    suite['color_raw'] = rendering['rgb']
+    suite['color_auto'] = postprocess_fn(rendering['rgb'], None)
+    truths['test_true_auto'] = postprocess_fn(test_case.rgb, None)
+    for p, level in test_dataset.metadata['exposure_levels'].items():
+      suite[f'color/{p}'] = postprocess_fn(rendering['rgb'], level)
+      truths[f'test_true_color/{p}'] = postprocess_fn(test_case.rgb, level)
+  for tag, img in truths.items():
+    summary_writer.image(tag, img, step)
+  for name, img in suite.items():
+    summary_writer.image('test_output_' + name, img, step)
+
+
 def main(unused_argv):
   rng = jax.random.PRNGKey(20200823)
   # Shift the numpy seed per process so hosts sample different rays.
@@ -325,53 +380,9 @@ def main(unused_argv):
 
     # In-train test-set render.
     if config.train_render_every > 0 and step % config.train_render_every == 0:
-      eval_start_time = time.time()
-      test_case = next(test_dataset)
-      rendering = image_renderer(state.params, train_frac, test_case.rays,
-                                 rng=rng)
-
-      if jax.process_index() == 0:
-        eval_time = time.time() - eval_start_time
-        num_rays = int(np.prod(test_case.rays.directions.shape[:-1]))
-        rays_per_sec = num_rays / eval_time
-        summary_writer.scalar('test_rays_per_sec', rays_per_sec, step)
-        print(f'Eval {step}: {eval_time:0.3f}s., {rays_per_sec:0.0f} rays/sec')
-
-        metric_start_time = time.time()
-        metric = metric_harness(
-            postprocess_fn(rendering['rgb']), postprocess_fn(test_case.rgb))
-        print(f'Metrics computed in {(time.time() - metric_start_time):0.3f}s')
-        for name, val in metric.items():
-          if not np.isnan(val):
-            print(f'{name} = {val:.4f}')
-            summary_writer.scalar('train_metrics/' + name, val, step)
-
-        if config.vis_decimate > 1:
-          d = config.vis_decimate
-          decimate_fn = lambda x, d=d: None if x is None else x[::d, ::d]
-        else:
-          decimate_fn = lambda x: x
-        rendering = jax.tree_util.tree_map(decimate_fn, rendering)
-        test_case = jax.tree_util.tree_map(decimate_fn, test_case)
-        vis_start_time = time.time()
-        vis_suite = vis.visualize_suite(rendering, test_case.rays)
-        print(f'Visualized in {(time.time() - vis_start_time):0.3f}s')
-        if config.rawnerf_mode:
-          vis_suite['color_raw'] = rendering['rgb']
-          vis_suite['color_auto'] = postprocess_fn(rendering['rgb'], None)
-          summary_writer.image('test_true_auto',
-                               postprocess_fn(test_case.rgb, None), step)
-          exposures = test_dataset.metadata['exposure_levels']
-          for p, x in list(exposures.items()):
-            vis_suite[f'color/{p}'] = postprocess_fn(rendering['rgb'], x)
-            summary_writer.image(f'test_true_color/{p}',
-                                 postprocess_fn(test_case.rgb, x), step)
-        summary_writer.image('test_true_color', test_case.rgb, step)
-        if config.compute_normal_metrics:
-          summary_writer.image('test_true_normals',
-                               test_case.normals / 2.0 + 0.5, step)
-        for k, v in vis_suite.items():
-          summary_writer.image('test_output_' + k, v, step)
+      in_train_test_render(step, image_renderer, state, train_frac, rng,
+                           test_dataset, config, summary_writer,
+                           metric_harness, postprocess_fn)
 
   if config.max_steps % config.checkpoint_every != 0:
     ckpt.save(config.max_steps, jax.device_get(state))
