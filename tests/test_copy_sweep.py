@@ -33,7 +33,7 @@ FORCED_CONTENT_CAPS = {
     'multinerf_tpu/data/cameras.py':
         (0.55, 'closed-form projection/undistortion + dual-xnp contract'),
     'train.py':
-        (0.51, 'declared loss/stat/TB-name contract + in-train eval block'),
+        (0.40, 'declared loss/stat/TB-name contract forces the remainder'),
     'multinerf_tpu/train_lib.py':
         (0.50, 'loss formulas + config-gated loss assembly are semantics'),
     'multinerf_tpu/data/raw.py':
