@@ -22,6 +22,7 @@ from multinerf_tpu.utils import io as io_lib
 
 RES = 64  # Original capture resolution; images_2 holds RES // 2.
 PINHOLE_MODEL_ID = 1
+SIMPLE_RADIAL_MODEL_ID = 2
 
 
 def rotmat_to_qvec(rot):
@@ -56,11 +57,12 @@ def ring_poses(n):
   return np.stack(poses)
 
 
-def render_sphere_view(c2w, pixtocam, res):
+def render_sphere_view(c2w, pixtocam, res, distortion_params=None):
   """Analytic render: textured unit sphere at origin, white background."""
   pix_x, pix_y = camera_lib.pixel_coordinates(res, res)
   origins, _, viewdirs, _, _ = camera_lib.pixels_to_rays(
-      pix_x, pix_y, pixtocam, c2w, xnp=np)
+      pix_x, pix_y, pixtocam, c2w, distortion_params=distortion_params,
+      xnp=np)
   b = 2 * np.sum(origins * viewdirs, -1)
   c = np.sum(origins ** 2, -1) - 1.0
   disc = b ** 2 - 4 * c
@@ -71,11 +73,15 @@ def render_sphere_view(c2w, pixtocam, res):
   return np.where(hit[..., None], texture, 1.0).astype(np.float32)
 
 
-def write_cameras_bin(path, focal, res):
+def write_cameras_bin(path, focal, res, k1=None):
   with open(path, 'wb') as f:
     f.write(struct.pack('<Q', 1))  # One shared camera.
-    f.write(struct.pack('<iiQQ', 1, PINHOLE_MODEL_ID, res, res))
-    f.write(struct.pack('<4d', focal, focal, res / 2, res / 2))
+    if k1 is None:
+      f.write(struct.pack('<iiQQ', 1, PINHOLE_MODEL_ID, res, res))
+      f.write(struct.pack('<4d', focal, focal, res / 2, res / 2))
+    else:
+      f.write(struct.pack('<iiQQ', 1, SIMPLE_RADIAL_MODEL_ID, res, res))
+      f.write(struct.pack('<4d', focal, res / 2, res / 2, k1))
 
 
 def write_images_bin(path, c2w_nerf, names):
@@ -101,24 +107,32 @@ def write_points3d_bin(path):
     f.write(struct.pack('<Q', 0))  # Empty sparse point cloud.
 
 
-def fabricate_scene(data_dir, num_images=8):
-  """Write the full scene; returns the list of image names."""
+def fabricate_scene(data_dir, num_images=8, k1=None):
+  """Write the full scene; returns the list of image names.
+
+  k1=None writes a PINHOLE camera; a float writes SIMPLE_RADIAL with that
+  radial coefficient AND renders the ground-truth images through the same
+  distortion, so the loader's undistortion path sees consistent data.
+  """
   sparse = os.path.join(data_dir, 'sparse', '0')
   os.makedirs(sparse, exist_ok=True)
-  for level, res in (('images', RES), ('images_2', RES // 2)):
+  for level in ('images', 'images_2'):
     os.makedirs(os.path.join(data_dir, level), exist_ok=True)
 
   focal = RES * 1.2
   pixtocam_full = camera_lib.get_pixtocam(focal, RES, RES)
   poses = ring_poses(num_images)
   names = [f'frame_{i:03d}.png' for i in range(num_images)]
+  distortion = None if k1 is None else {
+      'k1': k1, 'k2': 0.0, 'k3': 0.0, 'p1': 0.0, 'p2': 0.0}
 
-  write_cameras_bin(os.path.join(sparse, 'cameras.bin'), focal, RES)
+  write_cameras_bin(os.path.join(sparse, 'cameras.bin'), focal, RES, k1=k1)
   write_images_bin(os.path.join(sparse, 'images.bin'), poses, names)
   write_points3d_bin(os.path.join(sparse, 'points3D.bin'))
 
   for i, name in enumerate(names):
-    img = render_sphere_view(poses[i], pixtocam_full, RES)
+    img = render_sphere_view(poses[i], pixtocam_full, RES,
+                             distortion_params=distortion)
     io_lib.save_img_u8(img, os.path.join(data_dir, 'images', name))
     # 2x2 area downsample for the pyramid level.
     half = img.reshape(RES // 2, 2, RES // 2, 2, 3).mean(axis=(1, 3))

@@ -71,6 +71,36 @@ def test_parser_roundtrips_fabricated_model(colmap_scene):
   assert camtype == camera_lib.ProjectionType.PERSPECTIVE
 
 
+def test_radial_distortion_scene_flows_through_loader(tmp_path_factory):
+  """SIMPLE_RADIAL model: k1 recovered, undistortion runs on the loader
+  path, and the distorted-camera rays stay well-formed."""
+  import fabricate_colmap
+  from multinerf_tpu import configs as configs_lib
+  from multinerf_tpu import ginlite
+  from multinerf_tpu.data import colmap
+  from multinerf_tpu.data import datasets
+
+  data_dir = str(tmp_path_factory.mktemp('colmap_radial'))
+  fabricate_colmap.fabricate_scene(data_dir, num_images=4, k1=0.08)
+
+  _, _, _, distortion, _ = colmap.process_scene(
+      os.path.join(data_dir, 'sparse', '0'))
+  assert distortion is not None and distortion['k1'] == pytest.approx(0.08)
+
+  ginlite.clear_config()
+  config = configs_lib.Config(
+      dataset_loader='llff', data_dir=data_dir, factor=2, llffhold=4,
+      near=0.5, far=20.0, batch_size=64)
+  dataset = datasets.load_dataset('test', data_dir, config)
+  assert dataset.distortion_params['k1'] == pytest.approx(0.08)
+  batch = dataset.generate_ray_batch(0)
+  dirs = np.asarray(batch.rays.viewdirs)
+  assert np.isfinite(np.asarray(batch.rays.origins)).all()
+  assert np.isfinite(dirs).all()
+  np.testing.assert_allclose(np.linalg.norm(dirs, axis=-1), 1.0, atol=1e-5)
+  assert (np.asarray(batch.rays.radii) > 0).all()
+
+
 @pytest.fixture(scope='module')
 def llff_ckpt_dir(colmap_scene, tmp_path_factory):
   data_dir, _ = colmap_scene
