@@ -129,24 +129,37 @@ def pick_showcases(config, num_eval, step):
   return np.sort(np.asarray(perm[:config.num_showcase_images]))
 
 
-def render_frames(renderer, dataset, state, config, num_eval):
+def render_frames(renderer, dataset, state, config, num_eval,
+                  device_cast=False):
   """Yield (idx, batch, host rendering) with the NEXT frame in flight.
 
   Stage 1 (device): dispatch frame idx+1 through the compile-once
   renderer.  Stage 2 (host): fetch + yield frame idx for scoring while
   the mesh works on idx+1.
+
+  device_cast=True dispatches by camera index (rays cast in-jit from the
+  uploaded cameras); the host batch is still generated afterwards for
+  ground truth + vis, overlapped with the device render.
   """
   train_frac = float(state.step) / config.max_steps
   in_flight = None  # (idx, batch, device rendering)
 
   for idx in range(dataset.size):
-    batch = next(dataset)
     if idx >= num_eval:
+      next(dataset)
       print(f'Skipping image {idx + 1}/{dataset.size}')
       continue
     print(f'Evaluating image {idx + 1}/{dataset.size}')
-    device_rendering = renderer(state.params, train_frac, batch.rays,
-                                fetch=False)
+    if device_cast:
+      # Dispatch first (one int32 to the device), THEN pay the host-side
+      # ray cast for the ground-truth batch while the mesh renders.
+      device_rendering = renderer(state.params, train_frac, idx,
+                                  fetch=False)
+      batch = next(dataset)
+    else:
+      batch = next(dataset)
+      device_rendering = renderer(state.params, train_frac, batch.rays,
+                                  fetch=False)
     if in_flight is not None:
       yield in_flight[0], in_flight[1], jax.device_get(in_flight[2])
     in_flight = (idx, batch, device_rendering)
@@ -212,7 +225,7 @@ def write_metric_files(out_dir, step, config, frame_metrics, render_times,
 
 def evaluate_checkpoint(state, step, renderer, dataset, config, out_dir,
                         summary_writer, postprocess_fn, cc_fn,
-                        metric_harness):
+                        metric_harness, device_cast=False):
   """Render + score every test frame of one checkpoint."""
   num_eval = min(dataset.size, config.eval_dataset_limit)
   showcase_indices = pick_showcases(config, num_eval, step)
@@ -222,7 +235,8 @@ def evaluate_checkpoint(state, step, renderer, dataset, config, out_dir,
   render_times = []
   frame_done_at = time.time()
   for idx, batch, rendering in render_frames(renderer, dataset, state,
-                                             config, num_eval):
+                                             config, num_eval,
+                                             device_cast=device_cast):
     if jax.process_index() != 0:  # Only record via process 0.
       continue
     now = time.time()
@@ -262,7 +276,13 @@ def main(unused_argv):
   key = jax.random.PRNGKey(20200823)
   _, state, render_eval_pfn, _, _ = train_lib.setup_model(config, key,
                                                           mesh=mesh)
-  renderer = models.ImageRenderer(render_eval_pfn, config, mesh=mesh)
+  # Prefer in-jit ray casting (dispatch by camera index; one scalar to
+  # the device per frame); pano paths cast on host.
+  device_renderer = models.DeviceImageRenderer(render_eval_pfn, config,
+                                               dataset, mesh=mesh)
+  device_cast = device_renderer.supports()
+  renderer = (device_renderer if device_cast
+              else models.ImageRenderer(render_eval_pfn, config, mesh=mesh))
 
   postprocess_fn, cc_fn = make_postprocess_fns(config, dataset)
   metric_harness = image_ops.MetricHarness(
@@ -295,7 +315,7 @@ def main(unused_argv):
 
     evaluate_checkpoint(state, step, renderer, dataset, config, out_dir,
                         summary_writer, postprocess_fn, cc_fn,
-                        metric_harness)
+                        metric_harness, device_cast=device_cast)
 
     if config.eval_only_once:
       break

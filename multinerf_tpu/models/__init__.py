@@ -2,6 +2,7 @@
 
 from multinerf_tpu.models.mlp import MLP, NerfMLP, PropMLP  # noqa: F401
 from multinerf_tpu.models.nerf import (  # noqa: F401
+    DeviceImageRenderer,
     ImageRenderer,
     Model,
     construct_model,

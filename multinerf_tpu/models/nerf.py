@@ -366,6 +366,43 @@ def _subsample_ray_bundles(rendering, config):
   return rendering
 
 
+def _plan_chunks(config, num_rays):
+  """(chunk, num_chunks, padding): device-divisible whole-image chunking.
+
+  Chunks must be device-divisible for even sharding, and never render
+  more padding than one device-multiple past the image.
+  """
+  n_dev = jax.device_count()
+  chunk = min(config.render_chunk_size, -(-num_rays // n_dev) * n_dev)
+  chunk = max(n_dev, chunk // n_dev * n_dev)
+  num_chunks = -(-num_rays // chunk)
+  return chunk, num_chunks, num_chunks * chunk - num_rays
+
+
+def _assemble_image(outs, config, height, width, chunk, num_chunks,
+                    padding):
+  """Scan outputs [num_chunks, chunk, ...] -> one [H, W] rendering dict."""
+  num_rays = height * width
+  # The last chunk's real ray count: its vis bundle must not include the
+  # edge-padded duplicate rays.
+  last_real = min(config.vis_num_rays, chunk - padding)
+
+  def cat_bundles(r):
+    # [num_chunks, vis, ...] -> concatenated over chunks, padded rows of
+    # the final chunk dropped.
+    head = r[:-1].reshape((-1,) + r.shape[2:])
+    return jnp.concatenate([head, r[-1][:last_real]], axis=0)
+
+  rendering = {}
+  for k, z in outs.items():
+    if k.startswith('ray_'):
+      rendering[k] = [cat_bundles(r) for r in z]
+    else:
+      flat = z.reshape((num_chunks * chunk,) + z.shape[2:])[:num_rays]
+      rendering[k] = flat.reshape((height, width) + flat.shape[1:])
+  return _subsample_ray_bundles(rendering, config)
+
+
 class ImageRenderer:
   """Compile-once whole-image renderer: ONE device dispatch per frame.
 
@@ -407,22 +444,12 @@ class ImageRenderer:
     self._whole_fns = {}  # (height, width) -> jitted whole-image fn.
 
   def _plan(self, num_rays):
-    # Chunks must be device-divisible for even sharding, and never render
-    # more padding than one device-multiple past the image.
-    n_dev = jax.device_count()
-    chunk = min(self._config.render_chunk_size, -(-num_rays // n_dev) * n_dev)
-    chunk = max(n_dev, chunk // n_dev * n_dev)
-    num_chunks = -(-num_rays // chunk)
-    return chunk, num_chunks, num_chunks * chunk - num_rays
+    return _plan_chunks(self._config, num_rays)
 
   def _build(self, height, width):
     config = self._config
     render_fn = self._render_fn
-    num_rays = height * width
-    chunk, num_chunks, padding = self._plan(num_rays)
-    # The last chunk's real ray count: its vis bundle must not include the
-    # edge-padded duplicate rays.
-    last_real = min(config.vis_num_rays, chunk - padding)
+    chunk, num_chunks, padding = self._plan(height * width)
 
     def whole_image(params, train_frac, rng, stacked):
       def body(carry, chunk_rays):
@@ -430,21 +457,8 @@ class ImageRenderer:
         return carry, _keep_chunk_outputs(renderings, config)
 
       _, outs = jax.lax.scan(body, None, stacked)
-
-      def cat_bundles(r):
-        # [num_chunks, vis, ...] -> concatenated over chunks, padded rows
-        # of the final chunk dropped.
-        head = r[:-1].reshape((-1,) + r.shape[2:])
-        return jnp.concatenate([head, r[-1][:last_real]], axis=0)
-
-      rendering = {}
-      for k, z in outs.items():
-        if k.startswith('ray_'):
-          rendering[k] = [cat_bundles(r) for r in z]
-        else:
-          flat = z.reshape((num_chunks * chunk,) + z.shape[2:])[:num_rays]
-          rendering[k] = flat.reshape((height, width) + flat.shape[1:])
-      return _subsample_ray_bundles(rendering, config)
+      return _assemble_image(outs, config, height, width, chunk,
+                             num_chunks, padding)
 
     out_shardings = None
     if self._mesh is not None and jax.process_count() > 1:
@@ -525,6 +539,126 @@ class ImageRenderer:
       self._whole_fns[key] = self._build(height, width)
     stacked = self._stack_rays(rays, num_rays)
     rendering = self._whole_fns[key](params, train_frac, rng, stacked)
+    return jax.device_get(rendering) if fetch else rendering
+
+
+class DeviceImageRenderer:
+  """Whole-image renderer that casts rays ON DEVICE from stored cameras.
+
+  ImageRenderer ships pre-cast [H*W] ray pytrees from the host every
+  frame (~30 MB per 512x512 frame); this variant uploads the dataset's
+  cameras once and each frame costs ONE int32 (the camera index) up and
+  the rendering dict down — the eval/render-side analog of the training
+  device data plane (data/device_sampler.py).  Reference contrast: its
+  render path re-ships every chunk's rays from the host
+  (models.py:652-671 there).
+
+  Pixel coordinates are generated in-jit per chunk, cast through
+  cameras.cast_ray_batch with xnp=jnp (the same geometry the host path
+  runs in numpy), rendered, and assembled exactly like ImageRenderer.
+
+  Not applicable to spherical/pano rendering (Dataset._render_spherical)
+  — callers fall back to ImageRenderer there; see supports().
+  """
+
+  def __init__(self, render_fn, config, dataset, mesh=None):
+    from multinerf_tpu.data import cameras as camera_lib
+    self._camera_lib = camera_lib
+    self._render_fn = render_fn
+    self._config = config
+    self._mesh = mesh
+    self._camtype = dataset.camtype
+    self._height, self._width = dataset.height, dataset.width
+    self._near, self._far = float(dataset.near), float(dataset.far)
+    self._whole_fn = None
+
+    import numpy as np
+    pixtocams, camtoworlds, distortion_params, pixtocam_ndc = (
+        dataset.cameras)
+    self._cameras = (
+        jnp.asarray(np.asarray(pixtocams, np.float32)),
+        jnp.asarray(np.asarray(camtoworlds, np.float32)),
+        distortion_params,
+        None if pixtocam_ndc is None else jnp.asarray(pixtocam_ndc))
+
+    # Per-camera exposure records, precomputed with _make_ray_batch's
+    # selection rules (render paths pin metadata to image 0; spline paths
+    # carry their own exposures).
+    n_cams = np.asarray(camtoworlds).shape[0]
+    self._exposure_idx = None
+    self._exposure_values = None
+    if dataset.metadata is not None:
+      pick = (lambda a: np.full(n_cams, a[0]) if dataset.render_path
+              else np.asarray(a)[:n_cams])
+      self._exposure_idx = jnp.asarray(
+          pick(dataset.metadata['exposure_idx']).astype(np.int32))
+      self._exposure_values = jnp.asarray(
+          pick(dataset.metadata['exposure_values']).astype(np.float32))
+    elif dataset.exposures is not None:
+      exp = (np.full(n_cams, dataset.exposures[0]) if dataset.render_path
+             else np.asarray(dataset.exposures)[:n_cams])
+      self._exposure_values = jnp.asarray(exp.astype(np.float32))
+    if dataset.render_path and dataset.render_exposures is not None:
+      self._exposure_values = jnp.asarray(
+          np.asarray(dataset.render_exposures, np.float32))
+    self._spherical = getattr(dataset, '_render_spherical', False)
+
+  def supports(self):
+    """Device casting covers every projective camera; pano rays do not
+    route through cast_ray_batch."""
+    return not self._spherical
+
+  def _cast_chunk(self, chunk_start, chunk, cam_idx):
+    """Rays for [chunk_start, chunk_start+chunk), clamped at the image
+    end (the clamp replicates the host path's edge-padding; padded rows
+    are dropped at assembly)."""
+    num_rays = self._height * self._width
+    flat = jnp.minimum(chunk_start + jnp.arange(chunk), num_rays - 1)
+    pix_x = (flat % self._width).astype(jnp.int32)
+    pix_y = (flat // self._width).astype(jnp.int32)
+    ones = jnp.ones((chunk, 1), jnp.float32)
+    kw = dict(
+        lossmult=ones,
+        near=self._near * ones,
+        far=self._far * ones,
+        cam_idx=jnp.full((chunk, 1), cam_idx, jnp.int32))
+    if self._exposure_idx is not None:
+      kw['exposure_idx'] = jnp.full((chunk, 1),
+                                    self._exposure_idx[cam_idx], jnp.int32)
+    if self._exposure_values is not None:
+      kw['exposure_values'] = self._exposure_values[cam_idx] * ones
+    pixels = types.Pixels(pix_x, pix_y, **kw)
+    return self._camera_lib.cast_ray_batch(self._cameras, pixels,
+                                           self._camtype, xnp=jnp)
+
+  def _build(self):
+    config = self._config
+    render_fn = self._render_fn
+    height, width = self._height, self._width
+    chunk, num_chunks, padding = _plan_chunks(config, height * width)
+
+    def whole_image(params, train_frac, rng, cam_idx):
+      def body(carry, chunk_i):
+        rays = self._cast_chunk(chunk_i * chunk, chunk, cam_idx)
+        renderings, _ = render_fn(params, train_frac, rng, rays)
+        return carry, _keep_chunk_outputs(renderings, config)
+
+      _, outs = jax.lax.scan(body, None, jnp.arange(num_chunks))
+      return _assemble_image(outs, config, height, width, chunk,
+                             num_chunks, padding)
+
+    out_shardings = None
+    if self._mesh is not None and jax.process_count() > 1:
+      from multinerf_tpu.parallel import mesh as mesh_lib
+      out_shardings = mesh_lib.replicated(self._mesh)
+    return jax.jit(whole_image, out_shardings=out_shardings)
+
+  def __call__(self, params, train_frac, cam_idx, rng=None, fetch=True):
+    """Render the dataset's camera `cam_idx` (one scalar to the device)."""
+    if self._whole_fn is None:
+      self._whole_fn = self._build()
+    rendering = self._whole_fn(params, train_frac, rng,
+                               jnp.int32(cam_idx))
     return jax.device_get(rendering) if fetch else rendering
 
 

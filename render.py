@@ -167,9 +167,15 @@ def plan_frames(config, store, num_frames):
     yield idx
 
 
-def render_job(config, dataset, state, renderer, store, postprocess_fn):
+def render_job(config, dataset, state, renderer, store, postprocess_fn,
+               device_cast=False):
   """Render this job's frames, two stages deep: while the mesh renders
-  frame n+1, the host post-processes and writes frame n."""
+  frame n+1, the host post-processes and writes frame n.
+
+  device_cast=True dispatches by camera index (rays cast in-jit from the
+  uploaded cameras — one scalar to the device per frame); otherwise rays
+  are cast on host and shipped per frame.
+  """
   in_flight = None  # (idx, device rendering, dispatch time)
   frames_done = 0
 
@@ -183,8 +189,11 @@ def render_job(config, dataset, state, renderer, store, postprocess_fn):
   for idx in plan_frames(config, store, dataset.size):
     print(f'Evaluating image {idx + 1}/{dataset.size}')
     t0 = time.time()
-    rays = dataset.generate_ray_batch(idx).rays
-    device_rendering = renderer(state.params, 1.0, rays, fetch=False)
+    if device_cast:
+      device_rendering = renderer(state.params, 1.0, idx, fetch=False)
+    else:
+      rays = dataset.generate_ray_batch(idx).rays
+      device_rendering = renderer(state.params, 1.0, rays, fetch=False)
     if in_flight is not None:
       complete(*in_flight)
       frames_done += 1
@@ -204,7 +213,13 @@ def main(unused_argv):
   key = jax.random.PRNGKey(20200823)
   _, state, render_eval_pfn, _, _ = train_lib.setup_model(config, key,
                                                           mesh=mesh)
-  renderer = models.ImageRenderer(render_eval_pfn, config, mesh=mesh)
+  # Prefer in-jit ray casting (frames dispatch by camera index; nothing
+  # but one scalar crosses to the device); pano paths cast on host.
+  device_renderer = models.DeviceImageRenderer(render_eval_pfn, config,
+                                               dataset, mesh=mesh)
+  device_cast = device_renderer.supports()
+  renderer = (device_renderer if device_cast
+              else models.ImageRenderer(render_eval_pfn, config, mesh=mesh))
 
   if config.rawnerf_mode:
     postprocess_fn = dataset.metadata['postprocess_fn']
@@ -225,7 +240,8 @@ def main(unused_argv):
   store = FrameStore(os.path.join(base_dir, out_name), dataset.size,
                      use_async=config.render_save_async)
 
-  render_job(config, dataset, state, renderer, store, postprocess_fn)
+  render_job(config, dataset, state, renderer, store, postprocess_fn,
+             device_cast=device_cast)
 
   # Whichever job finishes the set assembles the videos.
   time.sleep(1)

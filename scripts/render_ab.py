@@ -12,7 +12,10 @@ host fetch:
              executed from the read-only /root/reference checkout.
 
 Also reports ours with 2 frames in flight (``fetch=False`` + deferred
-device_get), the pipelining eval.py uses.
+device_get, the pipelining eval.py uses) and ours with DEVICE-SIDE ray
+casting (``models.DeviceImageRenderer``: cameras uploaded once, each
+frame dispatches ONE int32 instead of a host-cast [H*W] ray pytree —
+the production eval.py/render.py path for projective cameras).
 
 Usage: python scripts/render_ab.py [--sizes 64,512] [--frames 6]
 """
@@ -47,6 +50,47 @@ def make_ray_fields(h, w, seed=2):
       near=np.full((h, w, 1), 0.2, np.float32),
       far=np.full((h, w, 1), 1e6, np.float32),
       cam_idx=np.zeros((h, w, 1), np.int32))
+
+
+class CameraRecord:
+  """Minimal dataset-shaped camera record for DeviceImageRenderer."""
+
+  def __init__(self, h, w):
+    from multinerf_tpu.data import cameras as camera_lib
+    self.height, self.width = h, w
+    self.near, self.far = 0.2, 1e6
+    self.camtype = camera_lib.ProjectionType.PERSPECTIVE
+    position = np.array([4.0, 0.0, 1.0], np.float32)
+    camtoworld = camera_lib.viewmatrix(
+        lookdir=position, up=np.array([0.0, 0.0, 1.0]), position=position)
+    self.cameras = (
+        camera_lib.get_pixtocam(w * 1.2, w, h)[None].astype(np.float32),
+        camtoworld[None].astype(np.float32), None, None)
+    self.metadata = None
+    self.exposures = None
+    self.render_path = False
+    self.render_exposures = None
+    self._render_spherical = False
+
+
+def time_device_cast(render_pfn, config, mesh, state, h, frames):
+  from multinerf_tpu.models import nerf as models
+  renderer = models.DeviceImageRenderer(render_pfn, config,
+                                        CameraRecord(h, h), mesh=mesh)
+  renderer(state.params, 1.0, 0)  # Warmup (compile).
+  t0 = time.perf_counter()
+  for _ in range(frames):
+    renderer(state.params, 1.0, 0)
+  seq = (time.perf_counter() - t0) / frames
+  t0 = time.perf_counter()
+  pending = renderer(state.params, 1.0, 0, fetch=False)
+  for _ in range(frames - 1):
+    nxt = renderer(state.params, 1.0, 0, fetch=False)
+    jax.device_get(pending)
+    pending = nxt
+  jax.device_get(pending)
+  pipe = (time.perf_counter() - t0) / frames
+  return seq, pipe
 
 
 def time_ours(renderer, state, rays, frames):
@@ -94,10 +138,15 @@ def main():
     fields = make_ray_fields(s, s)
     rays = types.Rays(**fields)
     first, seq, pipe = time_ours(renderer, state, rays, args.frames)
+    dc_seq, dc_pipe = time_device_cast(render_pfn, config, mesh, state, s,
+                                       args.frames)
     results[s] = {'ours_first_s': round(first, 3),
                   'ours_s': round(seq, 4),
                   'ours_pipelined_s': round(pipe, 4),
-                  'ours_rays_per_sec': round(s * s / seq, 1)}
+                  'ours_rays_per_sec': round(s * s / seq, 1),
+                  'ours_device_cast_s': round(dc_seq, 4),
+                  'ours_device_cast_pipelined_s': round(dc_pipe, 4),
+                  'ours_device_cast_rays_per_sec': round(s * s / dc_seq, 1)}
     print(json.dumps({'size': s, **results[s]}), flush=True)
 
   if not args.skip_reference:
@@ -119,7 +168,9 @@ def main():
                          'ours_vs_ref': round(ref_s / results[s]['ours_s'],
                                               3),
                          'ours_pipelined_vs_ref': round(
-                             ref_s / results[s]['ours_pipelined_s'], 3)})
+                             ref_s / results[s]['ours_pipelined_s'], 3),
+                         'ours_device_cast_vs_ref': round(
+                             ref_s / results[s]['ours_device_cast_s'], 3)})
       print(json.dumps({'size': s, **results[s]}), flush=True)
 
   print(json.dumps({'render_ab': {str(k): v for k, v in results.items()}}),

@@ -112,6 +112,32 @@ def test_fetch_false_returns_device_arrays(setup):
   assert np.isfinite(fetched['rgb']).all()
 
 
+def test_device_camera_renderer_matches_host_ray_path(setup):
+  """DeviceImageRenderer (in-jit ray casting from stored cameras) must
+  reproduce ImageRenderer fed the dataset's host-cast rays."""
+  import dataclasses as dc
+  from multinerf_tpu.data import datasets
+
+  config, mesh, state, render_pfn = setup
+  config = dc.replace(config, dataset_loader='dummy_sphere', near=2.0,
+                      far=6.0, render_chunk_size=256)
+  dataset = datasets.load_dataset('test', '', config)
+
+  host = models.ImageRenderer(render_pfn, config, mesh=mesh)
+  device = models.DeviceImageRenderer(render_pfn, config, dataset,
+                                      mesh=mesh)
+  assert device.supports()
+
+  for cam_idx in (0, 3):
+    batch = dataset.generate_ray_batch(cam_idx)
+    want = host(state.params, 1.0, batch.rays)
+    got = device(state.params, 1.0, cam_idx)
+    np.testing.assert_allclose(got['rgb'], want['rgb'], atol=2e-3)
+    np.testing.assert_allclose(got['acc'], want['acc'], atol=2e-3)
+    np.testing.assert_allclose(got['distance_mean'], want['distance_mean'],
+                               rtol=1e-2, atol=1e-2)
+
+
 def test_scan_and_loop_paths_agree_through_renderer(setup):
   """Multi-chunk frame: renderer output equals the loop render path."""
   config, mesh, state, render_pfn = setup
