@@ -51,16 +51,26 @@ def prefetch_to_mesh(iterator, mesh, size=2):
 
 def in_train_test_render(step, renderer, state, train_frac, rng,
                          test_dataset, config, summary_writer,
-                         metric_harness, postprocess_fn):
+                         metric_harness, postprocess_fn, cam_idx=None):
   """Render one held-out view mid-training; log speed, metrics, vis suite.
 
   The scalar/image tag names (test_rays_per_sec, train_metrics/*,
   test_true_*, test_output_*) and console lines are the observability
   contract shared with the reference trainer.
+
+  cam_idx is not None means `renderer` is a DeviceImageRenderer: dispatch
+  by camera index (rays cast in-jit), then generate the ground-truth
+  batch on host while the mesh renders.
   """
   t0 = time.time()
-  test_case = next(test_dataset)
-  rendering = renderer(state.params, train_frac, test_case.rays, rng=rng)
+  if cam_idx is not None:
+    device_rendering = renderer(state.params, train_frac, cam_idx, rng=rng,
+                                fetch=False)
+    test_case = next(test_dataset)
+    rendering = jax.device_get(device_rendering)
+  else:
+    test_case = next(test_dataset)
+    rendering = renderer(state.params, train_frac, test_case.rays, rng=rng)
   if jax.process_index() != 0:
     return
   dt = time.time() - t0
@@ -127,8 +137,18 @@ def main(unused_argv):
   rng, key = jax.random.split(rng)
   setup = train_lib.setup_model(config, key, mesh=mesh, dataset=dataset)
   model, state, render_eval_pfn, train_pstep, lr_fn = setup
-  # In-train test renders reuse one compile-once whole-image renderer.
-  image_renderer = models.ImageRenderer(render_eval_pfn, config, mesh=mesh)
+  # In-train test renders reuse one compile-once whole-image renderer;
+  # projective cameras render via in-jit ray casting (one int32 per
+  # frame), pano falls back to host-cast rays.
+  device_renderer = models.DeviceImageRenderer(render_eval_pfn, config,
+                                               test_dataset, mesh=mesh)
+  if device_renderer.supports():
+    image_renderer = device_renderer
+    in_train_device_cast = True
+  else:
+    image_renderer = models.ImageRenderer(render_eval_pfn, config, mesh=mesh)
+    in_train_device_cast = False
+  test_render_count = 0  # The fresh test dataset yields cameras 0,1,2,...
 
   cull_steps = {}  # capacity -> jitted culled step (the gate's ladder).
   cull_ladder = ()
@@ -380,9 +400,12 @@ def main(unused_argv):
 
     # In-train test-set render.
     if config.train_render_every > 0 and step % config.train_render_every == 0:
+      cam_idx = (test_render_count % test_dataset.size
+                 if in_train_device_cast else None)
       in_train_test_render(step, image_renderer, state, train_frac, rng,
                            test_dataset, config, summary_writer,
-                           metric_harness, postprocess_fn)
+                           metric_harness, postprocess_fn, cam_idx=cam_idx)
+      test_render_count += 1
 
   if config.max_steps % config.checkpoint_every != 0:
     ckpt.save(config.max_steps, jax.device_get(state))
