@@ -107,8 +107,19 @@ def run(num_processes, batch_size=64, train_steps=3):
       test_case.rays, None, config, verbose=False,
       mesh=mesh if num_processes > 1 else None)
   rgb = np.array(rendering['rgb'])
+
+  # The device-cast production surface (eval.py/render.py default):
+  # cameras uploaded once, rays cast in-jit, replicated output gathered
+  # across processes.  Must be process-count-invariant like render_image.
+  device_renderer = models.DeviceImageRenderer(
+      render_eval_pfn, config, dataset,
+      mesh=mesh if num_processes > 1 else None)
+  dc_rgb = np.array(device_renderer(state.params, 1.0, 0)['rgb'])
+
   return {'losses': losses, 'rgb_sum': float(rgb.sum()),
           'rgb_shape': list(rgb.shape),
+          'dc_rgb_sum': float(dc_rgb.sum()),
+          'dc_rgb_shape': list(dc_rgb.shape),
           'n_processes': jax.process_count(),
           'n_devices': jax.device_count()}
 

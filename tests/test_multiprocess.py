@@ -88,6 +88,11 @@ def test_multiprocess_matches_single_process(two_process_results):
     assert r['rgb_shape'] == single['rgb_shape']
     np.testing.assert_allclose(r['rgb_sum'], single['rgb_sum'],
                                rtol=1e-3)
+    # Device-cast renderer (eval.py/render.py default surface): also
+    # process-count-invariant.
+    assert r['dc_rgb_shape'] == single['dc_rgb_shape']
+    np.testing.assert_allclose(r['dc_rgb_sum'], single['dc_rgb_sum'],
+                               rtol=1e-3)
 
   # Both processes computed identical (replicated) results.
   np.testing.assert_allclose(two_process_results[0]['losses'],

@@ -130,3 +130,45 @@ def test_raw_postprocess_fn_roundtrip(raw_scene):
   srgb = np.array(ds.metadata['postprocess_fn'](img))
   assert srgb.shape == img.shape
   assert srgb.min() >= 0 and srgb.max() <= 1
+
+
+def test_device_cast_renderer_matches_host_with_exposures(raw_scene):
+  """DeviceImageRenderer must replicate _make_ray_batch's exposure
+  selection (per-camera metadata exposure_idx / exposure_values) — pinned
+  against the host-cast ImageRenderer on a camera whose exposure index is
+  NOT zero, so a wrong selection rule actually changes the pixels."""
+  from multinerf_tpu.models import nerf as models
+
+  ginlite.parse_config_files_and_bindings(
+      [], ['PropMLP.net_depth = 1', 'PropMLP.net_width = 8',
+           'NerfMLP.net_depth = 1', 'NerfMLP.net_width = 8',
+           'NerfMLP.rgb_activation = @math.safe_exp',
+           'NerfMLP.rgb_padding = 0.', 'NerfMLP.rgb_bias = -5.',
+           'Model.num_prop_samples = 4', 'Model.num_nerf_samples = 4',
+           'Model.num_levels = 2', 'Model.learned_exposure_scaling = True'])
+  config = configs_lib.Config(
+      dataset_loader='llff', batch_size=64, factor=1, near=0.0, far=1.0,
+      forward_facing=True, rawnerf_mode=True, data_loss_type='rawnerf',
+      llff_use_all_images_for_training=False, llffhold=2, max_steps=10,
+      lr_delay_steps=0, render_chunk_size=64)
+  # llffhold=2 puts img_0 (shutter 1/100, exposure_idx 0) AND img_2
+  # (shutter 1/400, exposure_idx 1) in the test split.
+  ds = datasets.load_dataset('test', raw_scene, config)
+  assert ds.size >= 2
+  exp_idx = np.asarray(ds.metadata['exposure_idx'])
+  assert exp_idx[1] != exp_idx[0], 'fixture must span exposure indices'
+
+  mesh = mesh_lib.create_mesh()
+  _, state, render_pfn, _, _ = train_lib.setup_model(
+      config, jax.random.PRNGKey(0), mesh=mesh, dataset=ds)
+  state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+  host = models.ImageRenderer(render_pfn, config, mesh=mesh)
+  device = models.DeviceImageRenderer(render_pfn, config, ds, mesh=mesh)
+  assert device.supports()
+
+  for cam_idx in (0, 1):
+    batch = ds.generate_ray_batch(cam_idx)
+    want = host(state.params, 1.0, batch.rays)
+    got = device(state.params, 1.0, cam_idx)
+    np.testing.assert_allclose(got['rgb'], want['rgb'], atol=2e-3)
