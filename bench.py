@@ -147,14 +147,37 @@ def make_frame_rays(h, w, seed=2):
   )
 
 
+class SyntheticCameraRecord:
+  """Minimal dataset-shaped camera record for DeviceImageRenderer."""
+
+  def __init__(self, h, w):
+    from multinerf_tpu.data import cameras as camera_lib
+    self.height, self.width = h, w
+    self.near, self.far = 0.2, 1e6
+    self.camtype = camera_lib.ProjectionType.PERSPECTIVE
+    position = np.array([4.0, 0.0, 1.0], np.float32)
+    camtoworld = camera_lib.viewmatrix(
+        lookdir=position, up=np.array([0.0, 0.0, 1.0]), position=position)
+    self.cameras = (
+        camera_lib.get_pixtocam(w * 1.2, w, h)[None].astype(np.float32),
+        camtoworld[None].astype(np.float32), None, None)
+    self.metadata = None
+    self.exposures = None
+    self.render_path = False
+    self.render_exposures = None
+    self._render_spherical = False
+
+
 def time_render(state, render_ctx, sizes=(64, 512), frames=6):
   """Eval/render-surface: PRODUCTION sec/frame per frame size.
 
-  Drives the exact path eval.py/render.py drive — the compile-once
-  ImageRenderer (one device dispatch per frame) INCLUDING the host fetch
-  of the full rendering dict.  The reference arm (time_reference_render)
-  runs its own production path on identical frames, making this a fair
-  production-vs-production A/B (VERDICT r3 #1).
+  Drives both of eval.py/render.py's surfaces INCLUDING the host fetch
+  of the full rendering dict: the host-ray compile-once ImageRenderer
+  (the pano fallback) and the default DeviceImageRenderer (cameras
+  uploaded once, rays cast in-jit, one int32 per frame).  The reference
+  arm (time_reference_render) runs its own production path on identical
+  frames, making this a fair production-vs-production A/B (VERDICT r3
+  #1).
   """
   from multinerf_tpu.data import types
   from multinerf_tpu.models import nerf as models
@@ -168,7 +191,16 @@ def time_render(state, render_ctx, sizes=(64, 512), frames=6):
     t0 = time.perf_counter()
     for _ in range(frames):
       renderer(state.params, 1.0, rays)
-    out[s] = (time.perf_counter() - t0) / frames
+    host_sec = (time.perf_counter() - t0) / frames
+
+    dc = models.DeviceImageRenderer(render_pfn, config,
+                                    SyntheticCameraRecord(s, s), mesh=mesh)
+    dc(state.params, 1.0, 0)  # Compile + sync.
+    t0 = time.perf_counter()
+    for _ in range(frames):
+      dc(state.params, 1.0, 0)
+    out[s] = {'host_rays': host_sec,
+              'device_cast': (time.perf_counter() - t0) / frames}
   return out
 
 
@@ -325,14 +357,21 @@ def main():
   # Eval/render surface: production-vs-production A/B on identical frames
   # (ours: compile-once ImageRenderer incl. host fetch; reference: its
   # chunked render_image host loop, models.py:625-706 there).
-  for s, sec in render_secs.items():
-    result[f'render_sec_per_frame_{s}x{s}'] = round(sec, 4)
-    result[f'render_rays_per_sec_{s}x{s}'] = round(s * s / sec, 1)
+  for s, secs in render_secs.items():
+    # device_cast is the production default (eval.py/render.py); the
+    # host-ray path is the pano fallback.
+    result[f'render_sec_per_frame_{s}x{s}'] = round(secs['device_cast'], 4)
+    result[f'render_rays_per_sec_{s}x{s}'] = round(
+        s * s / secs['device_cast'], 1)
+    result[f'render_sec_per_frame_{s}x{s}_host_rays'] = round(
+        secs['host_rays'], 4)
   if ref_render_secs is not None:
     for s, sec in ref_render_secs.items():
       result[f'reference_render_sec_per_frame_{s}x{s}'] = round(sec, 4)
       result[f'vs_reference_render_{s}x{s}'] = round(
-          sec / render_secs[s], 3)
+          sec / render_secs[s]['device_cast'], 3)
+      result[f'vs_reference_render_{s}x{s}_host_rays'] = round(
+          sec / render_secs[s]['host_rays'], 3)
   if ref_impl_rays_per_sec is not None:
     result['vs_reference_impl'] = round(
         rays_per_sec / ref_impl_rays_per_sec, 3)

@@ -52,31 +52,12 @@ def make_ray_fields(h, w, seed=2):
       cam_idx=np.zeros((h, w, 1), np.int32))
 
 
-class CameraRecord:
-  """Minimal dataset-shaped camera record for DeviceImageRenderer."""
-
-  def __init__(self, h, w):
-    from multinerf_tpu.data import cameras as camera_lib
-    self.height, self.width = h, w
-    self.near, self.far = 0.2, 1e6
-    self.camtype = camera_lib.ProjectionType.PERSPECTIVE
-    position = np.array([4.0, 0.0, 1.0], np.float32)
-    camtoworld = camera_lib.viewmatrix(
-        lookdir=position, up=np.array([0.0, 0.0, 1.0]), position=position)
-    self.cameras = (
-        camera_lib.get_pixtocam(w * 1.2, w, h)[None].astype(np.float32),
-        camtoworld[None].astype(np.float32), None, None)
-    self.metadata = None
-    self.exposures = None
-    self.render_path = False
-    self.render_exposures = None
-    self._render_spherical = False
-
-
 def time_device_cast(render_pfn, config, mesh, state, h, frames):
+  from bench import SyntheticCameraRecord
   from multinerf_tpu.models import nerf as models
   renderer = models.DeviceImageRenderer(render_pfn, config,
-                                        CameraRecord(h, h), mesh=mesh)
+                                        SyntheticCameraRecord(h, h),
+                                        mesh=mesh)
   renderer(state.params, 1.0, 0)  # Warmup (compile).
   t0 = time.perf_counter()
   for _ in range(frames):
