@@ -68,17 +68,20 @@ def score_frame(rendering, batch, gt, config, metric_harness,
                 postprocess_fn):
   """Quality metrics for one frame: (raw dict, color-corrected dict)."""
 
-  def to_metric_space(img):
+  def to_metric_space(img, quantize):
     img = postprocess_fn(img)
-    if config.eval_quantize_metrics:
+    if quantize and config.eval_quantize_metrics:
       # Written-to-disk images must reproduce the metrics exactly.
+      # Ground truth is never written, so it is never quantized.
       img = np.round(img * 255) / 255
     c = config.eval_crop_borders
     return img[c:-c, c:-c] if c > 0 else img
 
-  gt_m = to_metric_space(gt)
-  metric = metric_harness(to_metric_space(rendering['rgb']), gt_m)
-  metric_cc = metric_harness(to_metric_space(rendering['rgb_cc']), gt_m)
+  gt_m = to_metric_space(gt, quantize=False)
+  metric = metric_harness(
+      to_metric_space(rendering['rgb'], quantize=True), gt_m)
+  metric_cc = metric_harness(
+      to_metric_space(rendering['rgb_cc'], quantize=True), gt_m)
 
   if config.compute_disp_metrics:
     for key in ('distance_mean', 'distance_median'):
@@ -131,7 +134,7 @@ def pick_showcases(config, num_eval, step):
 
 def render_frames(renderer, dataset, state, config, num_eval,
                   device_cast=False):
-  """Yield (idx, batch, host rendering) with the NEXT frame in flight.
+  """Yield (idx, batch, host rendering, render seconds), pipelined.
 
   Stage 1 (device): dispatch frame idx+1 through the compile-once
   renderer.  Stage 2 (host): fetch + yield frame idx for scoring while
@@ -140,9 +143,14 @@ def render_frames(renderer, dataset, state, config, num_eval,
   device_cast=True dispatches by camera index (rays cast in-jit from the
   uploaded cameras); the host batch is still generated afterwards for
   ground truth + vis, overlapped with the device render.
+
+  The yielded render time counts only time spent blocked on this
+  generator's own work (dispatch + batch construction + device fetch) —
+  the consumer's scoring/saving between yields is excluded, keeping the
+  exported render_times comparable to an unpipelined render.
   """
   train_frac = float(state.step) / config.max_steps
-  in_flight = None  # (idx, batch, device rendering)
+  in_flight = None  # (idx, batch, device rendering, dispatch seconds)
 
   for idx in range(dataset.size):
     if idx >= num_eval:
@@ -150,6 +158,7 @@ def render_frames(renderer, dataset, state, config, num_eval,
       print(f'Skipping image {idx + 1}/{dataset.size}')
       continue
     print(f'Evaluating image {idx + 1}/{dataset.size}')
+    t0 = time.time()
     if device_cast:
       # Dispatch first (one int32 to the device), THEN pay the host-side
       # ray cast for the ground-truth batch while the mesh renders.
@@ -160,11 +169,18 @@ def render_frames(renderer, dataset, state, config, num_eval,
       batch = next(dataset)
       device_rendering = renderer(state.params, train_frac, batch.rays,
                                   fetch=False)
+    dispatch_s = time.time() - t0
     if in_flight is not None:
-      yield in_flight[0], in_flight[1], jax.device_get(in_flight[2])
-    in_flight = (idx, batch, device_rendering)
+      t0 = time.time()
+      host_rendering = jax.device_get(in_flight[2])
+      yield in_flight[0], in_flight[1], host_rendering, (
+          in_flight[3] + time.time() - t0)
+    in_flight = (idx, batch, device_rendering, dispatch_s)
   if in_flight is not None:
-    yield in_flight[0], in_flight[1], jax.device_get(in_flight[2])
+    t0 = time.time()
+    host_rendering = jax.device_get(in_flight[2])
+    yield in_flight[0], in_flight[1], host_rendering, (
+        in_flight[3] + time.time() - t0)
 
 
 def log_tb_summaries(summary_writer, step, config, frame_metrics,
@@ -233,15 +249,11 @@ def evaluate_checkpoint(state, step, renderer, dataset, config, out_dir,
   metrics, metrics_cc = [], []
   showcases = []
   render_times = []
-  frame_done_at = time.time()
-  for idx, batch, rendering in render_frames(renderer, dataset, state,
-                                             config, num_eval,
-                                             device_cast=device_cast):
+  for idx, batch, rendering, render_s in render_frames(
+      renderer, dataset, state, config, num_eval, device_cast=device_cast):
     if jax.process_index() != 0:  # Only record via process 0.
       continue
-    now = time.time()
-    render_times.append(now - frame_done_at)
-    frame_done_at = now
+    render_times.append(render_s)
     print(f'Rendered in {render_times[-1]:0.3f}s')
 
     gt = prepare_frame(rendering, batch, cc_fn)

@@ -587,17 +587,18 @@ class DeviceImageRenderer:
     n_cams = np.asarray(camtoworlds).shape[0]
     self._exposure_idx = None
     self._exposure_values = None
+    pick = (lambda a: np.full(n_cams, a[0]) if dataset.render_path
+            else np.asarray(a)[:n_cams])
     if dataset.metadata is not None:
-      pick = (lambda a: np.full(n_cams, a[0]) if dataset.render_path
-              else np.asarray(a)[:n_cams])
       self._exposure_idx = jnp.asarray(
           pick(dataset.metadata['exposure_idx']).astype(np.int32))
       self._exposure_values = jnp.asarray(
           pick(dataset.metadata['exposure_values']).astype(np.float32))
-    elif dataset.exposures is not None:
-      exp = (np.full(n_cams, dataset.exposures[0]) if dataset.render_path
-             else np.asarray(dataset.exposures)[:n_cams])
-      self._exposure_values = jnp.asarray(exp.astype(np.float32))
+    if dataset.exposures is not None:
+      # Layered AFTER metadata, matching _make_ray_batch: EXIF exposures
+      # override the metadata exposure_values when a loader sets both.
+      self._exposure_values = jnp.asarray(
+          pick(dataset.exposures).astype(np.float32))
     if dataset.render_path and dataset.render_exposures is not None:
       self._exposure_values = jnp.asarray(
           np.asarray(dataset.render_exposures, np.float32))

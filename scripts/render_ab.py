@@ -36,20 +36,12 @@ _cache.enable_persistent_compilation_cache()
 
 
 def make_ray_fields(h, w, seed=2):
-  rs = np.random.RandomState(seed)
-  n = h * w
-  d = rs.randn(n, 3).astype(np.float32)
-  d /= np.linalg.norm(d, axis=-1, keepdims=True)
-  return dict(
-      origins=(rs.randn(n, 3).astype(np.float32) * 0.1).reshape(h, w, 3),
-      directions=d.reshape(h, w, 3),
-      viewdirs=d.reshape(h, w, 3),
-      radii=np.full((h, w, 1), 1e-3, np.float32),
-      imageplane=np.zeros((h, w, 2), np.float32),
-      lossmult=np.ones((h, w, 1), np.float32),
-      near=np.full((h, w, 1), 0.2, np.float32),
-      far=np.full((h, w, 1), 1e6, np.float32),
-      cam_idx=np.zeros((h, w, 1), np.int32))
+  # One source of truth for the "identical frames" premise: both stacks
+  # (and bench.py's reference-render baseline) build frames from
+  # bench.make_frame_rays, so a geometry change there can't silently
+  # skew this A/B.
+  from bench import make_frame_rays
+  return make_frame_rays(h, w, seed=seed)
 
 
 def time_device_cast(render_pfn, config, mesh, state, h, frames):
