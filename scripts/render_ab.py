@@ -94,6 +94,9 @@ def main():
   p.add_argument('--sizes', type=str, default='64,512')
   p.add_argument('--frames', type=int, default=6)
   p.add_argument('--skip_reference', action='store_true')
+  p.add_argument('--trunk_dtype', type=str, default='bfloat16',
+                 help='ours-side trunk dtype (bfloat16 | int8 | float32); '
+                      'the reference side always runs its own f32 stack')
   args = p.parse_args()
   sizes = [int(s) for s in args.sizes.split(',')]
 
@@ -101,9 +104,9 @@ def main():
   from multinerf_tpu.data import types
   from multinerf_tpu.models import nerf as models
 
-  BF16 = ['NerfMLP.trunk_dtype = "bfloat16"',
-          'PropMLP.trunk_dtype = "bfloat16"']
-  state, _, _, (render_pfn, config, mesh) = bench.build({}, BF16)
+  DTYPE = [f'NerfMLP.trunk_dtype = "{args.trunk_dtype}"',
+           f'PropMLP.trunk_dtype = "{args.trunk_dtype}"']
+  state, _, _, (render_pfn, config, mesh) = bench.build({}, DTYPE)
   renderer = models.ImageRenderer(render_pfn, config, mesh=mesh)
 
   results = {}
