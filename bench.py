@@ -152,6 +152,11 @@ class SyntheticCameraRecord:
 
   def __init__(self, h, w):
     from multinerf_tpu.data import cameras as camera_lib
+    from multinerf_tpu.data import datasets as datasets_lib
+    # The renderer reads exposure selection through the dataset's shared
+    # rules; bind the real implementation (all sources are None here).
+    self.exposure_records = datasets_lib.Dataset.exposure_records.__get__(
+        self)
     self.height, self.width = h, w
     self.near, self.far = 0.2, 1e6
     self.camtype = camera_lib.ProjectionType.PERSPECTIVE

@@ -39,18 +39,8 @@ from multinerf_tpu.utils import cache as _cache
 _cache.enable_persistent_compilation_cache()
 
 
-def make_postprocess_fns(config, dataset):
-  """(tonemap fn, color-correction fn) for this dataset's color space."""
-  if config.rawnerf_mode:
-    postprocess_fn = dataset.metadata['postprocess_fn']
-  else:
-    postprocess_fn = lambda z: z
-  if config.eval_raw_affine_cc:
-    from multinerf_tpu.data import raw as raw_lib
-    cc_fn = raw_lib.match_images_affine
-  else:
-    cc_fn = image_ops.color_correct
-  return postprocess_fn, cc_fn
+# Re-exported for callers/tests; implementation is shared with render.py.
+make_postprocess_fns = image_ops.make_postprocess_fns
 
 
 def prepare_frame(rendering, batch, cc_fn):

@@ -197,6 +197,29 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
   def _load_renderings(self, config):
     """Load images/poses from disk; must set the attributes listed above."""
 
+  def exposure_records(self, cam_idx):
+    """Exposure ray fields for camera(s) `cam_idx` (scalar or array).
+
+    The single source of truth for exposure selection — `_make_ray_batch`
+    (one camera's pixels) and the device-cast renderer (all cameras,
+    uploaded once) both read the precedence rules from here: RawNeRF
+    metadata first (pinned to image 0 on render paths), loader EXIF
+    `exposures` override the metadata values, and spline-path
+    `render_exposures` override everything on render paths.
+    """
+    out = {}
+    if self.metadata is not None:
+      # RawNeRF: exposure index and relative shutter speed.
+      idx = 0 if self.render_path else cam_idx
+      for key in ['exposure_idx', 'exposure_values']:
+        out[key] = np.asarray(self.metadata[key])[idx]
+    if self.exposures is not None:
+      idx = 0 if self.render_path else cam_idx
+      out['exposure_values'] = np.asarray(self.exposures)[idx]
+    if self.render_path and self.render_exposures is not None:
+      out['exposure_values'] = np.asarray(self.render_exposures)[cam_idx]
+    return out
+
   def _make_ray_batch(self, pix_x_int, pix_y_int, cam_idx,
                       lossmult=None) -> types.Batch:
     """Assemble a Batch from pixel coordinates and camera indices."""
@@ -207,17 +230,8 @@ class Dataset(threading.Thread, metaclass=abc.ABCMeta):
         'far': broadcast_scalar(self.far),
         'cam_idx': broadcast_scalar(cam_idx),
     }
-    if self.metadata is not None:
-      # RawNeRF: exposure index and relative shutter speed.
-      for key in ['exposure_idx', 'exposure_values']:
-        idx = 0 if self.render_path else cam_idx
-        ray_kwargs[key] = broadcast_scalar(self.metadata[key][idx])
-    if self.exposures is not None:
-      idx = 0 if self.render_path else cam_idx
-      ray_kwargs['exposure_values'] = broadcast_scalar(self.exposures[idx])
-    if self.render_path and self.render_exposures is not None:
-      ray_kwargs['exposure_values'] = broadcast_scalar(
-          self.render_exposures[cam_idx])
+    for key, val in self.exposure_records(cam_idx).items():
+      ray_kwargs[key] = broadcast_scalar(val)
 
     pixels = types.Pixels(pix_x_int, pix_y_int, **ray_kwargs)
     if self._cast_rays_in_train_step and self.split == types.DataSplit.TRAIN:

@@ -581,27 +581,19 @@ class DeviceImageRenderer:
         distortion_params,
         None if pixtocam_ndc is None else jnp.asarray(pixtocam_ndc))
 
-    # Per-camera exposure records, precomputed with _make_ray_batch's
-    # selection rules (render paths pin metadata to image 0; spline paths
-    # carry their own exposures).
+    # Per-camera exposure fields, uploaded once.  The selection/precedence
+    # rules live in Dataset.exposure_records (shared with the host path's
+    # _make_ray_batch) — evaluated here for every camera at once.
     n_cams = np.asarray(camtoworlds).shape[0]
     self._exposure_idx = None
     self._exposure_values = None
-    pick = (lambda a: np.full(n_cams, a[0]) if dataset.render_path
-            else np.asarray(a)[:n_cams])
-    if dataset.metadata is not None:
-      self._exposure_idx = jnp.asarray(
-          pick(dataset.metadata['exposure_idx']).astype(np.int32))
-      self._exposure_values = jnp.asarray(
-          pick(dataset.metadata['exposure_values']).astype(np.float32))
-    if dataset.exposures is not None:
-      # Layered AFTER metadata, matching _make_ray_batch: EXIF exposures
-      # override the metadata exposure_values when a loader sets both.
-      self._exposure_values = jnp.asarray(
-          pick(dataset.exposures).astype(np.float32))
-    if dataset.render_path and dataset.render_exposures is not None:
-      self._exposure_values = jnp.asarray(
-          np.asarray(dataset.render_exposures, np.float32))
+    records = dataset.exposure_records(np.arange(n_cams))
+    if 'exposure_idx' in records:
+      self._exposure_idx = jnp.asarray(np.broadcast_to(
+          np.asarray(records['exposure_idx'], np.int32), (n_cams,)))
+    if 'exposure_values' in records:
+      self._exposure_values = jnp.asarray(np.broadcast_to(
+          np.asarray(records['exposure_values'], np.float32), (n_cams,)))
     self._spherical = getattr(dataset, '_render_spherical', False)
 
   def supports(self):

@@ -193,3 +193,22 @@ class MetricHarness:
       out[name_fn('lpips')] = self.lpips_fn(
           jnp.asarray(rgb_pred, jnp.float32), jnp.asarray(rgb_gt, jnp.float32))
     return out
+
+
+def make_postprocess_fns(config, dataset):
+  """(tonemap fn, color-correction fn) for a dataset's color space.
+
+  Shared by the eval and render drivers so the rawnerf tonemap hookup
+  lives in exactly one place (reference keeps copies in eval.py:57-60 and
+  render.py:129 there).
+  """
+  if config.rawnerf_mode:
+    postprocess_fn = dataset.metadata['postprocess_fn']
+  else:
+    postprocess_fn = lambda z: z
+  if config.eval_raw_affine_cc:
+    from multinerf_tpu.data import raw as raw_lib
+    cc_fn = raw_lib.match_images_affine
+  else:
+    cc_fn = color_correct
+  return postprocess_fn, cc_fn

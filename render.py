@@ -24,6 +24,7 @@ from multinerf_tpu import configs
 from multinerf_tpu import train_lib
 from multinerf_tpu.data import datasets
 from multinerf_tpu.models import nerf as models
+from multinerf_tpu.ops import image_ops
 from multinerf_tpu.parallel import mesh as mesh_lib
 from multinerf_tpu.utils import checkpoints as ckpt_lib
 from multinerf_tpu.utils import io as io_lib
@@ -176,12 +177,15 @@ def render_job(config, dataset, state, renderer, store, postprocess_fn,
   uploaded cameras — one scalar to the device per frame); otherwise rays
   are cast on host and shipped per frame.
   """
-  in_flight = None  # (idx, device rendering, dispatch time)
+  in_flight = None  # (idx, device rendering, dispatch seconds)
   frames_done = 0
 
-  def complete(idx, device_rendering, t0):
+  def complete(idx, device_rendering, dispatch_s):
+    t0 = time.time()
     rendering = jax.device_get(device_rendering)
-    print(f'Rendered in {time.time() - t0:0.3f}s')
+    # Dispatch + fetch only — the overlapped neighbor frames' ray casting
+    # and PNG encodes are excluded (same accounting as eval.render_frames).
+    print(f'Rendered in {dispatch_s + time.time() - t0:0.3f}s')
     if jax.process_index() == 0:
       rendering['rgb'] = postprocess_fn(rendering['rgb'])
       store.put(rendering, idx)
@@ -194,10 +198,11 @@ def render_job(config, dataset, state, renderer, store, postprocess_fn,
     else:
       rays = dataset.generate_ray_batch(idx).rays
       device_rendering = renderer(state.params, 1.0, rays, fetch=False)
+    dispatch_s = time.time() - t0
     if in_flight is not None:
       complete(*in_flight)
       frames_done += 1
-    in_flight = (idx, device_rendering, t0)
+    in_flight = (idx, device_rendering, dispatch_s)
   if in_flight is not None:
     complete(*in_flight)
     frames_done += 1
@@ -221,10 +226,7 @@ def main(unused_argv):
   renderer = (device_renderer if device_cast
               else models.ImageRenderer(render_eval_pfn, config, mesh=mesh))
 
-  if config.rawnerf_mode:
-    postprocess_fn = dataset.metadata['postprocess_fn']
-  else:
-    postprocess_fn = lambda z: z
+  postprocess_fn, _ = image_ops.make_postprocess_fns(config, dataset)
 
   ckpt = ckpt_lib.CheckpointManager(config.checkpoint_dir, keep=100)
   state = ckpt.restore_latest(state)

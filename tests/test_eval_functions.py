@@ -22,6 +22,7 @@ import numpy as np
 
 import eval as eval_lib
 from multinerf_tpu import configs as configs_lib
+from multinerf_tpu.data import datasets as datasets_lib
 from multinerf_tpu.data import types
 from multinerf_tpu.models import nerf as models
 
@@ -115,6 +116,10 @@ def test_render_frames_timing_excludes_consumer_work():
 
 class _ExposureDataset:
   """Minimal attribute bag accepted by DeviceImageRenderer.__init__."""
+
+  # The REAL shared selection rules — so these tests pin the exact code
+  # path both _make_ray_batch and the device renderer read from.
+  exposure_records = datasets_lib.Dataset.exposure_records
 
   def __init__(self, n_cams, metadata, exposures, render_path=False):
     pix2cam = np.tile(np.eye(3, dtype=np.float32), (n_cams, 1, 1))
