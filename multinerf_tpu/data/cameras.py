@@ -425,69 +425,58 @@ def pixels_to_rays(
   Returns:
     (origins, directions, viewdirs, radii, imageplane).
   """
-  # Shoot rays through pixel centers (+0.5); dx/dy neighbors give the cone
-  # footprint for mip-NeRF radii.
-  def pix_to_dir(x, y):
-    return xnp.stack([x + 0.5, y + 0.5, xnp.ones_like(x)], axis=-1)
-
-  pixel_dirs_stacked = xnp.stack([
-      pix_to_dir(pix_x_int, pix_y_int),
-      pix_to_dir(pix_x_int + 1, pix_y_int),
-      pix_to_dir(pix_x_int, pix_y_int + 1)
-  ], axis=0)
-
   matmul = mathx.matmul_hp if xnp == jnp else xnp.matmul
-  mat_vec_mul = lambda a, b: matmul(a, b[..., None])[..., 0]
+  rotate = lambda m, v: matmul(m, v[..., None])[..., 0]
 
-  camera_dirs_stacked = mat_vec_mul(pixtocams, pixel_dirs_stacked)
+  # Three ray probes per pixel: its center plus the +x and +y neighbor
+  # centers; the neighbors exist only to measure the mip-NeRF cone
+  # footprint and are dropped after the radii are computed.
+  probes = xnp.stack([
+      xnp.stack([pix_x_int + ox + 0.5, pix_y_int + oy + 0.5,
+                 xnp.ones_like(pix_x_int)], axis=-1)
+      for ox, oy in ((0, 0), (1, 0), (0, 1))], axis=0)
+
+  cam_dirs = rotate(pixtocams, probes)  # Inverse intrinsics.
 
   if distortion_params is not None:
-    x, y = _radial_and_tangential_undistort(
-        camera_dirs_stacked[..., 0],
-        camera_dirs_stacked[..., 1],
-        **distortion_params,
-        xnp=xnp)
-    camera_dirs_stacked = xnp.stack([x, y, xnp.ones_like(x)], -1)
+    u, v = _radial_and_tangential_undistort(
+        cam_dirs[..., 0], cam_dirs[..., 1], **distortion_params, xnp=xnp)
+    cam_dirs = xnp.stack([u, v, xnp.ones_like(u)], -1)
 
   if camtype == ProjectionType.FISHEYE:
-    theta = xnp.sqrt(
-        xnp.sum(xnp.square(camera_dirs_stacked[..., :2]), axis=-1))
-    theta = xnp.minimum(xnp.pi, theta)
-    sin_theta_over_theta = xnp.sin(theta) / theta
-    camera_dirs_stacked = xnp.stack([
-        camera_dirs_stacked[..., 0] * sin_theta_over_theta,
-        camera_dirs_stacked[..., 1] * sin_theta_over_theta,
-        xnp.cos(theta),
-    ], axis=-1)
+    # Equidistant model: plane radius IS the polar angle; spin the unit
+    # plane point onto the sphere (sin(t)/t rescales xy, z = cos(t)).
+    theta = xnp.minimum(
+        xnp.pi, xnp.sqrt(xnp.sum(xnp.square(cam_dirs[..., :2]), axis=-1)))
+    sinc_t = (xnp.sin(theta) / theta)[..., None]
+    cam_dirs = xnp.concatenate(
+        [cam_dirs[..., :2] * sinc_t, xnp.cos(theta)[..., None]], axis=-1)
 
-  # OpenCV -> OpenGL coordinate flip.
-  camera_dirs_stacked = matmul(camera_dirs_stacked,
-                               xnp.diag(xnp.array([1.0, -1.0, -1.0])))
+  # OpenCV -> OpenGL: negate y and z (elementwise; no matmul needed).
+  cam_dirs = cam_dirs * xnp.array([1.0, -1.0, -1.0])
 
-  imageplane = camera_dirs_stacked[0, ..., :2]
+  imageplane = cam_dirs[0, ..., :2]
 
-  directions_stacked = mat_vec_mul(camtoworlds[..., :3, :3],
-                                   camera_dirs_stacked)
-  directions, dx, dy = directions_stacked
+  directions, dx, dy = rotate(camtoworlds[..., :3, :3], cam_dirs)
 
   origins = xnp.broadcast_to(camtoworlds[..., :3, -1], directions.shape)
   viewdirs = directions / xnp.linalg.norm(directions, axis=-1, keepdims=True)
 
   if pixtocam_ndc is None:
-    dx_norm = xnp.linalg.norm(dx - directions, axis=-1)
-    dy_norm = xnp.linalg.norm(dy - directions, axis=-1)
+    footprint = (xnp.linalg.norm(dx - directions, axis=-1) +
+                 xnp.linalg.norm(dy - directions, axis=-1))
   else:
     # In NDC the footprint comes from origin offsets, not direction offsets.
     origins_dx, _ = convert_to_ndc(origins, dx, pixtocam_ndc, xnp=xnp)
     origins_dy, _ = convert_to_ndc(origins, dy, pixtocam_ndc, xnp=xnp)
     origins, directions = convert_to_ndc(origins, directions, pixtocam_ndc,
                                          xnp=xnp)
-    dx_norm = xnp.linalg.norm(origins_dx - origins, axis=-1)
-    dy_norm = xnp.linalg.norm(origins_dy - origins, axis=-1)
+    footprint = (xnp.linalg.norm(origins_dx - origins, axis=-1) +
+                 xnp.linalg.norm(origins_dy - origins, axis=-1))
 
-  # Halve the neighbor distance and scale to the variance of a pixel-wide
-  # uniform distribution (1/12; see mip-NeRF).
-  radii = (0.5 * (dx_norm + dy_norm))[..., None] * 2 / xnp.sqrt(12)
+  # Mean neighbor distance, scaled to the std of a pixel-wide uniform
+  # distribution (1/sqrt(12); see mip-NeRF).
+  radii = (0.5 * footprint)[..., None] * 2 / xnp.sqrt(12)
 
   return origins, directions, viewdirs, radii, imageplane
 

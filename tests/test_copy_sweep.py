@@ -31,7 +31,7 @@ FORCED_CONTENT_CAPS = {
     'multinerf_tpu/ops/geopoly.py':
         (0.58, 'one-way-to-write-it tesselation math, bit-identical bases'),
     'multinerf_tpu/data/cameras.py':
-        (0.55, 'closed-form projection/undistortion + dual-xnp contract'),
+        (0.47, 'closed-form projection/undistortion + dual-xnp contract'),
     'train.py':
         (0.40, 'declared loss/stat/TB-name contract forces the remainder'),
     'multinerf_tpu/train_lib.py':
