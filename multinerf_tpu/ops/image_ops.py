@@ -75,39 +75,40 @@ def color_correct(img, ref, num_iters=5, eps=0.5 / 255):
 
   Saturated pixels are masked out of the least-squares fit; because the
   saturation set changes as the fit improves, the solve is iterated.
-  The lstsq itself runs in numpy (host) for stability, matching the
-  reference (image.py:114-116).
+
+  Runs entirely on the host in numpy: the reference (image.py:81-124
+  there) interleaves device ops with host lstsq calls, which on this
+  stack costs ~15 device round-trips (plus sync asserts) per frame —
+  ~2 s/frame through the TPU tunnel regardless of image size.  Here one
+  evaluation is a handful of BLAS calls over [num_pixels, 10] matrices.
   """
   if img.shape[-1] != ref.shape[-1]:
     raise ValueError(
         f"img's {img.shape[-1]} and ref's {ref.shape[-1]} channels must match")
   num_channels = img.shape[-1]
-  img_mat = img.reshape([-1, num_channels])
-  ref_mat = ref.reshape([-1, num_channels])
-  is_unclipped = lambda z: (z >= eps) & (z <= (1 - eps))
+  img_mat = np.asarray(img).reshape([-1, num_channels])
+  ref_mat = np.asarray(ref).reshape([-1, num_channels])
+
+  def is_unclipped(z):  # Pixels near the [0, 1] rails carry no signal.
+    return (z >= eps) & (z <= 1 - eps)
+
   mask0 = is_unclipped(img_mat)
   for _ in range(num_iters):
     # Quadratic expansion of each pixel: upper-triangular channel products,
     # then the linear terms, then a bias.
-    a_mat = []
-    for c in range(num_channels):
-      a_mat.append(img_mat[:, c:(c + 1)] * img_mat[:, c:])
-    a_mat.append(img_mat)
-    a_mat.append(jnp.ones_like(img_mat[:, :1]))
-    a_mat = jnp.concatenate(a_mat, axis=-1)
+    quads = [img_mat[:, c:c + 1] * img_mat[:, c:] for c in range(num_channels)]
+    a_mat = np.concatenate(quads + [img_mat, np.ones_like(img_mat[:, :1])],
+                           axis=-1)
     warp = []
     for c in range(num_channels):
       b = ref_mat[:, c]
       mask = mask0[:, c] & is_unclipped(img_mat[:, c]) & is_unclipped(b)
-      ma_mat = jnp.where(mask[:, None], a_mat, 0)
-      mb = jnp.where(mask, b, 0)
-      w = np.linalg.lstsq(ma_mat, mb, rcond=-1)[0]
-      assert jnp.all(jnp.isfinite(w))
+      w = np.linalg.lstsq(np.where(mask[:, None], a_mat, 0),
+                          np.where(mask, b, 0), rcond=-1)[0]
+      assert np.isfinite(w).all()
       warp.append(w)
-    warp = jnp.stack(warp, axis=-1)
-    img_mat = jnp.clip(
-        jnp.matmul(a_mat, warp, precision=jax.lax.Precision.HIGHEST), 0, 1)
-  return jnp.reshape(img_mat, img.shape)
+    img_mat = np.clip(a_mat @ np.stack(warp, axis=-1), 0, 1)
+  return img_mat.reshape(img.shape)
 
 
 def _gaussian_kernel1d(filter_size: int, filter_sigma: float) -> jnp.ndarray:
