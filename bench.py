@@ -40,6 +40,70 @@ BATCH_SIZE = PER_CHIP_BATCH * jax.device_count()
 WARMUP_STEPS = 5
 TIMED_STEPS = 20
 
+# Ref-NeRF / RawNeRF A/B: 128+128 samples/ray through a single shared MLP
+# (1M samples/step at 4096 rays) needs more activation memory per ray than
+# the 360 config; halve the per-chip rays so BOTH stacks fit comfortably.
+# Throughput is parallelism-saturated well below this (512k samples/step),
+# and the comparison is per-chip rays/sec at an identical batch either way.
+ARCH_PER_CHIP_BATCH = 2048
+
+# Peak dense-matmul throughput by device kind, bf16 with f32 accumulation
+# (published TPU specs); used only to report MFU and the matmul step floor.
+PEAK_BF16_TFLOPS = {
+    'v5 lite': 197.0,
+    'v5e': 197.0,
+    'v5p': 459.0,
+    'v4': 275.0,
+    'v6': 918.0,
+}
+
+
+def peak_bf16_tflops():
+  kind = jax.devices()[0].device_kind.lower()
+  for sub, peak in PEAK_BF16_TFLOPS.items():
+    if sub in kind:
+      return peak
+  return None
+
+
+def train_matmul_flops(params, batch_per_chip, model):
+  """Algorithmic matmul FLOPs of ONE train step, per chip.
+
+  Counts every Dense kernel [in, out] at its per-step sample count
+  (2*n*in*out forward), times 3 for training: the backward's dx and dW
+  GEMMs each cost the same as the forward.  Rematerialization (the fused
+  Pallas kernels recompute features in their backward) is NOT credited —
+  this is the standard model-FLOPs MFU convention, so MFU measures useful
+  work per peak, and the derived floor is the bf16-MXU time for the
+  algorithm's own matmuls.
+
+  Sample counts: the proposal MLP runs once per prop level on
+  batch*num_prop_samples samples (one shared PropMLP module — the param
+  tree has a single PropMLP_0); with Model.single_mlp the NerfMLP serves
+  the prop levels too.  Non-MLP params (embeddings, grids) don't matmul.
+  """
+  import flax
+  n_prop_levels = model.num_levels - 1
+  nerf_n = batch_per_chip * model.num_nerf_samples
+  prop_n = batch_per_chip * model.num_prop_samples * n_prop_levels
+  if getattr(model, 'single_mlp', False):
+    nerf_n += prop_n
+    prop_n = 0
+  flat = flax.traverse_util.flatten_dict(params['params'], sep='/')
+  total = 0.0
+  for path, leaf in flat.items():
+    if not path.endswith('/kernel') or leaf.ndim != 2:
+      continue
+    top = path.split('/')[0]
+    if top.startswith('PropMLP'):
+      n = prop_n
+    elif top.startswith('NerfMLP'):
+      n = nerf_n
+    else:
+      continue
+    total += 2.0 * n * leaf.shape[0] * leaf.shape[1]
+  return 3.0 * total
+
 
 def build(config_overrides, gin_overrides, cull=False):
   from multinerf_tpu import configs as configs_lib
@@ -71,9 +135,10 @@ def build(config_overrides, gin_overrides, cull=False):
   mesh = mesh_lib.create_mesh()
   rng = jax.random.PRNGKey(0)
   model, state, render_pfn, train_pstep, _ = train_lib.setup_model(
-      config, rng, mesh=mesh)
+      config, rng, mesh=mesh, stats_arg=True)
   if cull:
-    train_pstep = train_lib.create_train_step(model, config, mesh, cull=True)
+    train_pstep = train_lib.create_train_step(model, config, mesh, cull=True,
+                                              stats_arg=True)
   state = jax.device_put(state, mesh_lib.replicated(mesh))
   if cull:
     # Throughput is capacity-determined, not grid-determined; a half-
@@ -102,7 +167,114 @@ def build(config_overrides, gin_overrides, cull=False):
   batch = types.Batch(rays=rays,
                       rgb=rs.rand(BATCH_SIZE, 3).astype(np.float32))
   batch = mesh_lib.shard_batch_to_global(mesh, batch)
-  return state, train_pstep, batch, (render_pfn, config, mesh)
+  return state, train_pstep, batch, (render_pfn, config, mesh), model
+
+
+def build_arch(arch, gin_overrides=()):
+  """Our stack at the blender_refnerf.gin / llff_raw.gin architecture.
+
+  Bindings mirror the reference gin files exactly (our checked-in
+  configs/blender_refnerf.gin and configs/llff_raw.gin are
+  binding-identical to the reference's); the synthetic batch matches
+  reference_import.build_reference_arch_step's.
+  """
+  from multinerf_tpu import configs as configs_lib
+  from multinerf_tpu import ginlite
+  from multinerf_tpu import train_lib
+  from multinerf_tpu.data import types
+  from multinerf_tpu.parallel import mesh as mesh_lib
+
+  batch_size = ARCH_PER_CHIP_BATCH * jax.device_count()
+  common = [
+      'Model.num_levels = 2',
+      'Model.single_mlp = True',
+      'Model.num_prop_samples = 128',
+      'Model.num_nerf_samples = 128',
+      'Model.anneal_slope = 0.',
+      'Model.dilation_multiplier = 0.',
+      'Model.dilation_bias = 0.',
+      'Model.single_jitter = False',
+      'NerfMLP.net_depth = 8',
+      'NerfMLP.net_width = 256',
+      'NerfMLP.basis_shape = "octahedron"',
+      'NerfMLP.basis_subdivisions = 1',
+      'NerfMLP.max_deg_point = 16',
+  ]
+  if arch == 'refnerf':
+    bindings = common + [
+        'Model.resample_padding = 0.01',
+        'NerfMLP.net_depth_viewdirs = 8',
+        'NerfMLP.disable_density_normals = False',
+        'NerfMLP.enable_pred_normals = True',
+        'NerfMLP.use_directional_enc = True',
+        'NerfMLP.use_reflections = True',
+        'NerfMLP.deg_view = 5',
+        'NerfMLP.enable_pred_roughness = True',
+        'NerfMLP.use_diffuse_color = True',
+        'NerfMLP.use_specular_tint = True',
+        'NerfMLP.use_n_dot_v = True',
+        'NerfMLP.bottleneck_width = 128',
+        'NerfMLP.density_bias = 0.5',
+    ]
+    config_kwargs = dict(
+        near=2.0, far=6.0, data_loss_type='mse', distortion_loss_mult=0.0,
+        orientation_loss_mult=0.1, orientation_loss_target='normals_pred',
+        predicted_normal_loss_mult=3e-4, orientation_coarse_loss_mult=0.01,
+        predicted_normal_coarse_loss_mult=3e-5, interlevel_loss_mult=0.0,
+        data_coarse_loss_mult=0.1, adam_eps=1e-8)
+    exposure = False
+  elif arch == 'raw':
+    bindings = common + [
+        'Model.opaque_background = True',
+        'Model.learned_exposure_scaling = True',
+        'Model.ray_shape = "cylinder"',
+        'NerfMLP.disable_density_normals = True',
+        'NerfMLP.rgb_padding = 0.',
+        'NerfMLP.rgb_activation = @math.safe_exp',
+        'NerfMLP.rgb_bias = -5.',
+        'NerfMLP.density_noise = 1.',
+        'NerfMLP.weight_init = "glorot_uniform"',
+    ]
+    config_kwargs = dict(
+        near=0.0, far=1.0, rawnerf_mode=True, data_loss_type='rawnerf',
+        apply_bayer_mask=True, interlevel_loss_mult=0.0,
+        distortion_loss_mult=0.01, data_coarse_loss_mult=0.1,
+        grad_max_norm=0.1, grad_max_val=0.1, adam_eps=1e-8)
+    exposure = True
+  else:
+    raise ValueError(f'unknown arch {arch!r}')
+
+  ginlite.clear_config()
+  ginlite.parse_config_files_and_bindings([], bindings + list(gin_overrides))
+  config = configs_lib.Config(batch_size=batch_size, **config_kwargs)
+
+  mesh = mesh_lib.create_mesh()
+  model, state, _, train_pstep, _ = train_lib.setup_model(
+      config, jax.random.PRNGKey(0), mesh=mesh, stats_arg=True)
+  state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+  rs = np.random.RandomState(0)
+  d = rs.randn(batch_size, 3).astype(np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  ray_kwargs = dict(
+      origins=rs.randn(batch_size, 3).astype(np.float32) * 0.1,
+      directions=d,
+      viewdirs=d,
+      radii=np.full((batch_size, 1), 1e-3, np.float32),
+      imageplane=np.zeros((batch_size, 2), np.float32),
+      lossmult=np.ones((batch_size, 1), np.float32),
+      near=np.full((batch_size, 1), config.near, np.float32),
+      far=np.full((batch_size, 1), config.far, np.float32),
+      cam_idx=np.zeros((batch_size, 1), np.int32))
+  if exposure:
+    ray_kwargs['exposure_idx'] = (
+        rs.randint(0, 2, (batch_size, 1)).astype(np.int32))
+    ray_kwargs['exposure_values'] = np.full((batch_size, 1), 0.01,
+                                            np.float32)
+  batch = types.Batch(rays=types.Rays(**ray_kwargs),
+                      rgb=rs.rand(batch_size, 3).astype(np.float32))
+  batch = mesh_lib.shard_batch_to_global(mesh, batch)
+  return state, train_pstep, batch, model, batch_size
 
 
 def time_variant(state, train_pstep, batch, windows=2):
@@ -112,19 +284,24 @@ def time_variant(state, train_pstep, batch, windows=2):
   each window ends with ONE scalar host fetch.  (On the axon tunnel platform
   block_until_ready does not actually block, so a fetch is the only true
   synchronization; chaining amortizes its ~40ms round-trip.)
+
+  Timed with compute_stats=False — the production steady state: train.py
+  computes the whole-tree statistics only on the 1-in-print_every steps it
+  logs (default print_every=100, so <1% of steps pay the stats cond).
   """
   rng = jax.random.PRNGKey(1)
+  n_rays = int(batch.rgb.shape[0])
   for _ in range(WARMUP_STEPS):
-    state, stats, rng = train_pstep(rng, state, batch, 0.5, 1.0)
+    state, stats, rng = train_pstep(rng, state, batch, 0.5, 1.0, False)
   float(stats['loss'])
   best = 0.0
   for _ in range(windows):
     t0 = time.perf_counter()
     for _ in range(TIMED_STEPS):
-      state, stats, rng = train_pstep(rng, state, batch, 0.5, 1.0)
+      state, stats, rng = train_pstep(rng, state, batch, 0.5, 1.0, False)
     float(stats['loss'])  # Single sync point per window.
     dt = time.perf_counter() - t0
-    best = max(best, BATCH_SIZE * TIMED_STEPS / dt)
+    best = max(best, n_rays * TIMED_STEPS / dt)
   return best
 
 
@@ -236,6 +413,28 @@ def time_reference_impl():
   return best
 
 
+def time_reference_arch(arch):
+  """The reference's ACTUAL pmap step at the refnerf / raw architecture."""
+  from multinerf_tpu import reference_import
+  if not reference_import.reference_available():
+    return None
+  batch_size = ARCH_PER_CHIP_BATCH * jax.device_count()
+  train_pstep, state, batch, rngs = (
+      reference_import.build_reference_arch_step(arch, batch_size))
+  for _ in range(WARMUP_STEPS):
+    state, stats, rngs = train_pstep(rngs, state, batch, None, 0.5, 1.0)
+  float(stats['loss'][0])
+  best = 0.0
+  for _ in range(2):
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+      state, stats, rngs = train_pstep(rngs, state, batch, None, 0.5, 1.0)
+    float(stats['loss'][0])  # Single sync point per window.
+    dt = time.perf_counter() - t0
+    best = max(best, batch_size * TIMED_STEPS / dt)
+  return best
+
+
 def time_reference_render(sizes=(64, 512), frames=6):
   """The reference's PRODUCTION render path on the same frames as ours.
 
@@ -271,7 +470,10 @@ def main():
   # Optimized uncull path: analytic contraction Jacobian, recurrence IPE,
   # fused featurize+matmul / fully-fused density-MLP Pallas kernels, bf16
   # trunk (all equivalence-tested; same algorithm as the reference).
-  state, step_fn, batch, render_ctx = build({}, BF16)
+  state, step_fn, batch, render_ctx, model = build({}, BF16)
+  # Per-chip algorithmic matmul FLOPs of one step — for MFU + the bf16-MXU
+  # step floor (computed from shapes before timing; the step donates state).
+  step_flops = train_matmul_flops(state.params, PER_CHIP_BATCH, model)
   # Render BEFORE the train timing: the jitted step donates (rng, state)
   # (train_lib.py donate_argnums), so time_variant's first call deletes
   # this state's buffers on backends that honor donation.
@@ -280,7 +482,7 @@ def main():
 
   # Identical-numerics variant (f32 trunk activations, like the
   # reference): isolates the bf16-storage choice from the architecture.
-  state_f, step_fn_f, batch_f, _ = build({}, [])
+  state_f, step_fn_f, batch_f, _, _ = build({}, [])
   uncull_f32_rays_per_sec = time_variant(state_f, step_fn_f, batch_f)
 
   # Occupancy-culled CAPACITY LADDER (models/culling.py): same model, the
@@ -296,7 +498,7 @@ def main():
   # the uncull numbers above.
   ladder = {}
   for cap in (0.33, 0.5, 0.67):
-    state_c, step_c, batch_c, _ = build(
+    state_c, step_c, batch_c, _, _ = build(
         {'occupancy_culling': True, 'occupancy_capacity_frac': cap},
         BF16, cull=True)
     ladder[cap] = time_variant(state_c, step_c, batch_c)
@@ -311,7 +513,7 @@ def main():
   import os
   os.environ['MULTINERF_REFERENCE_ALGOS'] = '1'
   try:
-    state_b, step_fn_b, batch_b, _ = build({}, [])
+    state_b, step_fn_b, batch_b, _, _ = build({}, [])
     ref_algo_rays_per_sec = time_variant(state_b, step_fn_b, batch_b)
   finally:
     del os.environ['MULTINERF_REFERENCE_ALGOS']
@@ -320,6 +522,20 @@ def main():
   # from the read-only checkout and executed on the same chip.
   ref_impl_rays_per_sec = time_reference_impl()
   ref_render_secs = time_reference_render()
+
+  # Ref-NeRF / RawNeRF train-step A/Bs: ours vs the reference's own pmap
+  # step at the blender_refnerf.gin / llff_raw.gin architectures (identical
+  # synthetic batches, same per-chip rays, same sync protocol).  These
+  # configs are f32 end to end on both sides (the gin files bind no trunk
+  # dtype), so the speedup isolates the algorithmic differences: sum-trick
+  # density normals vs vmapped value_and_grad (reference models.py:473-492)
+  # and the real-recurrence IDE vs complex powers (ref_utils.py:98-159).
+  arch_rays = {}
+  for arch_name in ('refnerf', 'raw'):
+    state_a, step_a, batch_a, model_a, arch_bs = build_arch(arch_name)
+    ours_a = time_variant(state_a, step_a, batch_a)
+    ref_a = time_reference_arch(arch_name)
+    arch_rays[arch_name] = (ours_a, ref_a, arch_bs)
 
   n_chips = jax.device_count()
   denom = ref_impl_rays_per_sec or ref_algo_rays_per_sec
@@ -359,6 +575,37 @@ def main():
           str(cap): round(v / denom, 3) for cap, v in ladder.items()},
       'vs_baseline_culled': round(culled_rays_per_sec / denom, 3),
   }
+  # MFU + the matmul step floor (VERDICT r4 #1): algorithmic matmul FLOPs
+  # per step per chip against the device's peak bf16 rate.  step_floor_ms
+  # is the time the step's own matmuls take at 100% MXU — the identical-
+  # model lower bound; max_identical_model_speedup is the reference's
+  # measured step divided by that floor.
+  peak = peak_bf16_tflops()
+  step_sec = BATCH_SIZE / rays_per_sec
+  result['matmul_tflops_per_step'] = round(step_flops / 1e12, 4)
+  result['step_time_ms'] = round(1e3 * step_sec, 3)
+  result['achieved_matmul_tflops'] = round(step_flops / step_sec / 1e12, 1)
+  if peak is not None:
+    result['peak_bf16_tflops_assumed'] = peak
+    result['mfu'] = round(step_flops / step_sec / (peak * 1e12), 4)
+    result['step_floor_ms'] = round(1e3 * step_flops / (peak * 1e12), 3)
+  if ref_impl_rays_per_sec is not None:
+    ref_step_sec = BATCH_SIZE / ref_impl_rays_per_sec
+    result['reference_step_time_ms'] = round(1e3 * ref_step_sec, 3)
+    if peak is not None:
+      result['reference_mfu'] = round(
+          step_flops / ref_step_sec / (peak * 1e12), 4)
+      result['max_identical_model_speedup'] = round(
+          ref_step_sec / (step_flops / (peak * 1e12)), 3)
+  # Ref-NeRF / RawNeRF architectures (VERDICT r4 #2).
+  n_chips_ = jax.device_count()
+  for arch_name, (ours_a, ref_a, _) in arch_rays.items():
+    result[f'train_rays_per_sec_per_chip_{arch_name}'] = round(
+        ours_a / n_chips_, 1)
+    if ref_a is not None:
+      result[f'reference_rays_per_sec_per_chip_{arch_name}'] = round(
+          ref_a / n_chips_, 1)
+      result[f'vs_reference_{arch_name}'] = round(ours_a / ref_a, 3)
   # Eval/render surface: production-vs-production A/B on identical frames
   # (ours: compile-once ImageRenderer incl. host fetch; reference: its
   # chunked render_image host loop, models.py:625-706 there).

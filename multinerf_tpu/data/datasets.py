@@ -47,6 +47,8 @@ def load_dataset(split, train_dir, config):
       'dummy_sphere': DummySphere,
       'dummy_scatter': DummyScatter,
       'dummy_unbounded': DummyUnbounded,
+      'dummy_specular': DummySpecular,
+      'dummy_distractor': DummyDistractor,
   }
   return dataset_dict[config.dataset_loader](split, train_dir, config)
 
@@ -955,3 +957,123 @@ class DummyUnbounded(DummyScatter):
     q = (origins + t[..., None] * viewdirs) / self.SHELL_RADIUS
     phases = np.array([0.0, 2.1, 4.2], np.float32)
     return (0.5 + 0.5 * np.sin(6.0 * q + phases)).astype(np.float32)
+
+
+class DummyDistractor(DummyScatter):
+  """DummyScatter with per-view TRANSIENT distractors in the train views.
+
+  Each train image gets a handful of solid-color squares at view-specific
+  random positions — photometrically inconsistent content that no 3D scene
+  explains (the synthetic-distractor protocol of RobustNeRF,
+  arxiv.org/abs/2302.00833).  Test views stay clean, so held-out PSNR
+  measures whether training rejected the distractors; ``distractor_masks``
+  ([n, h, w] bool, train split only) records where they were pasted so
+  harnesses can score mask accuracy.  ~14% of each train view is
+  distractor — inside the robustnerf_inlier_quantile=0.8 budget.
+  """
+
+  NUM_DISTRACTORS = 5
+  DISTRACTOR_SIZE = 8
+
+  def _load_renderings(self, config):
+    super()._load_renderings(config)
+    if self.split == types.DataSplit.TEST:
+      return
+    rng = np.random.RandomState(777)
+    n, h, w, _ = self.images.shape
+    self.images = np.array(self.images)  # Own, writable copy.
+    self.distractor_masks = np.zeros((n, h, w), bool)
+    s = self.DISTRACTOR_SIZE
+    for i in range(n):
+      for _ in range(self.NUM_DISTRACTORS):
+        y = rng.randint(0, h - s)
+        x = rng.randint(0, w - s)
+        self.images[i, y:y + s, x:x + s] = rng.rand(3).astype(np.float32)
+        self.distractor_masks[i, y:y + s, x:x + s] = True
+
+
+class DummySpecular(Dataset):
+  """A SHINY unit sphere: analytic view-dependent (specular) appearance.
+
+  The Ref-NeRF validation scene: each surface point's color is a diffuse
+  texture plus a Phong specular lobe around the reflection of the view
+  direction about the analytic sphere normal — exactly the appearance
+  family Ref-NeRF's reflection-direction parameterization models (and a
+  plain viewdir-conditioned NeRF struggles with).  Ground-truth normals
+  (the unit hit points) and hit masks are analytic, so normal-MAE can be
+  scored against truth.  Train/test camera rings differ (novel-view eval),
+  white background, blender-like near/far (2/6).
+
+  Static geometry helpers (`sphere_hits`) are exposed so harnesses can
+  recompute GT normals for arbitrary rays (scripts/head_to_head.py).
+  """
+
+  NUM_IMAGES = 16
+  RESOLUTION = 48
+  LIGHT = np.array([0.40824829, -0.40824829, 0.81649658], np.float32)
+  SHININESS = 32.0
+
+  @staticmethod
+  def sphere_hits(origins, viewdirs):
+    """Nearest unit-sphere intersection: (normals, hit mask)."""
+    b = 2 * np.sum(origins * viewdirs, -1)
+    c = np.sum(origins ** 2, -1) - 1.0
+    disc = b ** 2 - 4 * c
+    hit = disc > 0
+    t_hit = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, np.inf)
+    t_safe = np.where(hit, t_hit, 0.0)
+    normals = origins + t_safe[..., None] * viewdirs  # Unit: |p| = 1 at hit.
+    return normals.astype(np.float32), hit, t_hit
+
+  @classmethod
+  def shade(cls, normals, viewdirs, hit):
+    """Diffuse texture + Phong specular lobe; white at misses."""
+    n = normals
+    v = -viewdirs  # Surface -> camera.
+    n_dot_l = np.maximum(0.0, np.sum(n * cls.LIGHT, -1, keepdims=True))
+    albedo = 0.5 + 0.5 * np.sin(4.0 * n)
+    diffuse = albedo * (0.25 + 0.55 * n_dot_l)
+    # Reflect the view about the normal; lobe toward the light.
+    r = 2.0 * np.sum(n * v, -1, keepdims=True) * n - v
+    r_dot_l = np.maximum(0.0, np.sum(r * cls.LIGHT, -1, keepdims=True))
+    specular = 0.9 * r_dot_l ** cls.SHININESS
+    color = np.clip(diffuse + specular, 0.0, 1.0)
+    return np.where(hit[..., None], color, 1.0).astype(np.float32)
+
+  def _load_renderings(self, config):
+    n = self.NUM_IMAGES
+    res = self.RESOLUTION
+    test = self.split == types.DataSplit.TEST
+
+    poses = []
+    for i in range(n):
+      theta = 2 * np.pi * (i + (0.5 if test else 0.0)) / n
+      height = 1.25 if test else (0.7 if i % 2 == 0 else 1.6)
+      position = np.array(
+          [3.5 * np.cos(theta), 3.5 * np.sin(theta), height])
+      poses.append(camera_lib.viewmatrix(
+          lookdir=position, up=np.array([0.0, 0.0, 1.0]), position=position))
+    self.camtoworlds = np.stack(poses).astype(np.float32)
+    self.height = self.width = res
+    self.focal = res * 1.4
+    self.pixtocams = camera_lib.get_pixtocam(self.focal, self.width,
+                                             self.height)
+
+    images, normal_maps, alpha_maps, disps = [], [], [], []
+    for i in range(n):
+      pix_x, pix_y = camera_lib.pixel_coordinates(res, res)
+      origins, _, viewdirs, _, _ = camera_lib.pixels_to_rays(
+          pix_x, pix_y, self.pixtocams, self.camtoworlds[i], xnp=np)
+      normals, hit, t_hit = self.sphere_hits(origins, viewdirs)
+      images.append(self.shade(normals, viewdirs, hit))
+      normal_maps.append(np.where(hit[..., None], normals, 0.0))
+      alpha_maps.append(hit.astype(np.float32))
+      disps.append((1.0 / np.maximum(np.where(hit, t_hit, np.inf), 1e-3))
+                   .astype(np.float32))
+    self.images = np.stack(images)
+    # Analytic GT normals/alphas always materialize (cheap) so quality
+    # harnesses can read them without config.compute_normal_metrics.
+    self.normal_images = np.stack(normal_maps).astype(np.float32)
+    self.alphas = np.stack(alpha_maps)
+    if self._load_disps:
+      self.disp_images = np.stack(disps)

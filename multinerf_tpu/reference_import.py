@@ -182,6 +182,120 @@ def build_reference_360_image_render(seed: int = 0):
   return render_frame, ref, config
 
 
+def build_reference_arch_step(arch: str, batch_size: int, seed: int = 0):
+  """The reference's ACTUAL pmap train step at a non-360 flagship arch.
+
+  ``arch``:
+    'refnerf'  the blender_refnerf.gin model/loss surface (reference
+               configs/blender_refnerf.gin): single shared 8x256 MLP with
+               density-gradient normals (models.py:473-492 vmapped
+               value_and_grad), predicted normals, IDE (ref_utils.py:
+               98-159), reflections/diffuse/tint/n-dot-v heads, and the
+               orientation + predicted-normal losses
+               (train_utils.py:162-197).
+    'raw'      the llff_raw.gin surface (reference configs/llff_raw.gin):
+               single shared 8x256 MLP, cylinder rays, exp RGB
+               activation, density noise, learned exposure scaling, and
+               the rawnerf data loss (train_utils.py:90-110).
+
+  Returns (train_pstep, replicated_state, sharded_batch, rngs) with the
+  same calling convention as build_reference_360_step.
+  """
+  import flax
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+
+  ref = import_reference()
+  base_mlp = ref.models.MLP
+
+  if arch == 'refnerf':
+    nerf_kw = dict(
+        net_depth=8, net_width=256, net_depth_viewdirs=8,
+        basis_shape='octahedron', basis_subdivisions=1,
+        disable_density_normals=False, enable_pred_normals=True,
+        use_directional_enc=True, use_reflections=True, deg_view=5,
+        enable_pred_roughness=True, use_diffuse_color=True,
+        use_specular_tint=True, use_n_dot_v=True, bottleneck_width=128,
+        density_bias=0.5, max_deg_point=16)
+    config_kw = dict(
+        near=2.0, far=6.0, batch_size=batch_size, data_loss_type='mse',
+        distortion_loss_mult=0.0, orientation_loss_mult=0.1,
+        orientation_loss_target='normals_pred',
+        predicted_normal_loss_mult=3e-4, orientation_coarse_loss_mult=0.01,
+        predicted_normal_coarse_loss_mult=3e-5, interlevel_loss_mult=0.0,
+        data_coarse_loss_mult=0.1, adam_eps=1e-8)
+    model_kw = dict(num_levels=2, single_mlp=True, num_prop_samples=128,
+                    num_nerf_samples=128, anneal_slope=0.0,
+                    dilation_multiplier=0.0, dilation_bias=0.0,
+                    single_jitter=False, resample_padding=0.01)
+    exposure = False
+  elif arch == 'raw':
+    nerf_kw = dict(
+        net_depth=8, net_width=256, basis_shape='octahedron',
+        basis_subdivisions=1, disable_density_normals=True,
+        max_deg_point=16, rgb_padding=0.0, rgb_activation=ref.math.safe_exp,
+        rgb_bias=-5.0, density_noise=1.0, weight_init='glorot_uniform')
+    config_kw = dict(
+        near=0.0, far=1.0, batch_size=batch_size, rawnerf_mode=True,
+        data_loss_type='rawnerf', apply_bayer_mask=True,
+        interlevel_loss_mult=0.0, distortion_loss_mult=0.01,
+        data_coarse_loss_mult=0.1, grad_max_norm=0.1, grad_max_val=0.1,
+        adam_eps=1e-8)
+    model_kw = dict(num_levels=2, single_mlp=True, num_prop_samples=128,
+                    num_nerf_samples=128, opaque_background=True,
+                    learned_exposure_scaling=True, ray_shape='cylinder',
+                    anneal_slope=0.0, dilation_multiplier=0.0,
+                    dilation_bias=0.0, single_jitter=False)
+    exposure = True
+  else:
+    raise ValueError(f'unknown arch {arch!r}')
+
+  ref.models.NerfMLP = lambda: base_mlp(**nerf_kw)
+  ref.models.PropMLP = lambda: base_mlp(net_depth=4, net_width=256,
+                                        disable_density_normals=True,
+                                        disable_rgb=True)
+
+  config = ref.configs.Config(**config_kw)
+  model = ref.models.Model(config=config, **model_kw)
+
+  rng = jax.random.PRNGKey(seed)
+  rs = np.random.RandomState(seed)
+  d = rs.randn(batch_size, 3).astype(np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  ray_kwargs = dict(
+      origins=rs.randn(batch_size, 3).astype(np.float32) * 0.1,
+      directions=d,
+      viewdirs=d,
+      radii=np.full((batch_size, 1), 1e-3, np.float32),
+      imageplane=np.zeros((batch_size, 2), np.float32),
+      lossmult=np.ones((batch_size, 1), np.float32),
+      near=np.full((batch_size, 1), config.near, np.float32),
+      far=np.full((batch_size, 1), config.far, np.float32),
+      cam_idx=np.zeros((batch_size, 1), np.int32))
+  if exposure:
+    ray_kwargs['exposure_idx'] = (
+        rs.randint(0, 2, (batch_size, 1)).astype(np.int32))
+    ray_kwargs['exposure_values'] = np.full((batch_size, 1), 0.01,
+                                            np.float32)
+
+  init_rays = jax.tree_util.tree_map(
+      lambda x: jnp.asarray(x[:10]), ref.utils.Rays(**ray_kwargs))
+  variables = model.init(rng, rng=None, rays=init_rays, train_frac=1.0,
+                         compute_extras=False, zero_glo=True)
+
+  state, _ = ref.train_utils.create_optimizer(config, variables)
+  train_pstep = ref.train_utils.create_train_step(model, config)
+
+  batch = ref.utils.Batch(rays=ref.utils.Rays(**ray_kwargs),
+                          rgb=rs.rand(batch_size, 3).astype(np.float32))
+  sharded_batch = ref.utils.shard(batch)
+  state = flax.jax_utils.replicate(state)
+  rngs = jax.random.split(jax.random.PRNGKey(seed + 1),
+                          jax.local_device_count())
+  return train_pstep, state, sharded_batch, rngs
+
+
 def build_reference_360_step(batch_size: int, seed: int = 0):
   """Assemble the reference's ACTUAL pmap train step on the 360 config.
 

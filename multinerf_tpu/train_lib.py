@@ -242,7 +242,7 @@ def create_optimizer(config, variables) -> Tuple[TrainState, Callable]:
 
 
 def create_train_step(model, config, mesh, dataset=None, jit=True,
-                      cull=False):
+                      cull=False, stats_arg=False):
   """Build the jitted SPMD training step.
 
   The returned function takes and returns *global* arrays laid out on
@@ -254,6 +254,17 @@ def create_train_step(model, config, mesh, dataset=None, jit=True,
   With ``cull=True`` (requires Config.occupancy_culling) the model runs the
   final level through the occupancy-grid compaction; train.py compiles a
   cull=False variant for the grid-warmup phase and switches after.
+
+  With ``stats_arg=True`` the step takes a sixth traced argument
+  ``compute_stats``: the five whole-tree statistic families (weight_l2s,
+  grad_norms, grad_maxes, opt_update_norms, opt_update_maxes — ~3 ms/step
+  of extra HBM passes over every parameter at the 360 scale, profiled in
+  docs/DESIGN.md) are computed under a ``lax.cond`` only when it is True.
+  The reference computes them every step (train_utils.py:260-309 of
+  google-research/multinerf), but its TensorBoard contract only *reads*
+  them at print steps, so the production drivers pass
+  ``step % print_every == 0`` and skip the work elsewhere.  Loss/psnr/mse
+  and the occupancy/robustnerf feedback stats are always computed.
   """
   def _drop_unit_patch_dims(batch):
     """Squeeze [P, 1, 1, ...] batch leaves to [P, ...].
@@ -283,7 +294,8 @@ def create_train_step(model, config, mesh, dataset=None, jit=True,
         jnp.asarray(x) if isinstance(x, np.ndarray) else x
         for x in dataset.cameras)
 
-  def train_step(rng, state, batch, train_frac, loss_threshold):
+  def train_step(rng, state, batch, train_frac, loss_threshold,
+                 compute_stats=True):
     batch = _drop_unit_patch_dims(batch)
     rng, key = jax.random.split(rng)
 
@@ -322,12 +334,26 @@ def create_train_step(model, config, mesh, dataset=None, jit=True,
         losses['predicted_normals'] = predicted_normal_loss(
             model, ray_history, config)
 
-      stats['weight_l2s'] = summarize_tree(variables['params'], tree_norm_sq)
+      if not stats_arg:
+        stats['weight_l2s'] = summarize_tree(variables['params'],
+                                             tree_norm_sq)
 
       if config.weight_decay_mults:
         it = config.weight_decay_mults.items
-        losses['weight'] = jnp.sum(
-            jnp.array([m * stats['weight_l2s'][k] for k, m in it()]))
+        if stats_arg:
+          # weight_l2s is deferred to the compute_stats cond below, but the
+          # decay term must be differentiated every step: compute just the
+          # decayed subtrees' norms here (identical values).
+          def _subtree(params, key):
+            for part in key.split('/'):
+              params = params[part]
+            return params
+          losses['weight'] = jnp.sum(jnp.array(
+              [m * tree_norm_sq(_subtree(variables['params'], k))
+               for k, m in it()]))
+        else:
+          losses['weight'] = jnp.sum(
+              jnp.array([m * stats['weight_l2s'][k] for k, m in it()]))
 
       stats['loss'] = jnp.sum(jnp.array(list(losses.values())))
       stats['losses'] = losses
@@ -351,8 +377,10 @@ def create_train_step(model, config, mesh, dataset=None, jit=True,
 
     # No explicit pmean: with the batch sharded over the data axis and
     # params replicated, GSPMD emits the cross-chip grad reduction itself.
-    stats['grad_norms'] = summarize_tree(grad['params'], tree_norm)
-    stats['grad_maxes'] = summarize_tree(grad['params'], tree_abs_max)
+    raw_grad = grad['params']
+    if not stats_arg:
+      stats['grad_norms'] = summarize_tree(raw_grad, tree_norm)
+      stats['grad_maxes'] = summarize_tree(raw_grad, tree_abs_max)
 
     grad = clip_gradients(grad, config)
     grad = jax.tree_util.tree_map(jnp.nan_to_num, grad)
@@ -372,8 +400,25 @@ def create_train_step(model, config, mesh, dataset=None, jit=True,
 
     opt_delta = jax.tree_util.tree_map(lambda x, y: x - y, new_state,
                                        state).params['params']
-    stats['opt_update_norms'] = summarize_tree(opt_delta, tree_norm)
-    stats['opt_update_maxes'] = summarize_tree(opt_delta, tree_abs_max)
+    if stats_arg:
+      def _tree_stats(args):
+        params, g, delta = args
+        return {
+            'weight_l2s': summarize_tree(params, tree_norm_sq),
+            'grad_norms': summarize_tree(g, tree_norm),
+            'grad_maxes': summarize_tree(g, tree_abs_max),
+            'opt_update_norms': summarize_tree(delta, tree_norm),
+            'opt_update_maxes': summarize_tree(delta, tree_abs_max),
+        }
+      stat_args = (state.params['params'], raw_grad, opt_delta)
+      zeros = jax.tree_util.tree_map(
+          lambda s: jnp.zeros(s.shape, s.dtype),
+          jax.eval_shape(_tree_stats, stat_args))
+      stats.update(jax.lax.cond(
+          compute_stats, _tree_stats, lambda _: zeros, stat_args))
+    else:
+      stats['opt_update_norms'] = summarize_tree(opt_delta, tree_norm)
+      stats['opt_update_maxes'] = summarize_tree(opt_delta, tree_abs_max)
 
     stats['psnrs'] = image_ops.mse_to_psnr(stats['mses'])
     stats['psnr'] = stats['psnrs'][-1]
@@ -383,11 +428,19 @@ def create_train_step(model, config, mesh, dataset=None, jit=True,
     return train_step
   repl = mesh_lib.replicated(mesh)
   data = mesh_lib.data_sharding(mesh)
-  train_pstep = jax.jit(
-      train_step,
-      in_shardings=(repl, None, data, None, None),
-      donate_argnums=(0, 1),
-  )
+  if stats_arg:
+    train_pstep = jax.jit(
+        train_step,
+        in_shardings=(repl, None, data, None, None, None),
+        donate_argnums=(0, 1),
+    )
+  else:
+    train_pstep = jax.jit(
+        lambda rng, state, batch, train_frac, loss_threshold: train_step(
+            rng, state, batch, train_frac, loss_threshold),
+        in_shardings=(repl, None, data, None, None),
+        donate_argnums=(0, 1),
+    )
   return train_pstep
 
 
@@ -424,7 +477,7 @@ def create_render_fn(model, mesh, cull=False):
   return render_eval_pfn
 
 
-def setup_model(config, rng, mesh=None, dataset=None):
+def setup_model(config, rng, mesh=None, dataset=None, stats_arg=False):
   """One-stop: construct model, optimizer, and jitted train/render fns."""
   if mesh is None:
     mesh = mesh_lib.create_mesh()
@@ -438,6 +491,7 @@ def setup_model(config, rng, mesh=None, dataset=None):
   # stale/saturated grid would silently drop live samples.  Grid-culled
   # rendering remains available via create_render_fn(..., cull=True).
   render_eval_pfn = create_render_fn(model, mesh)
-  train_pstep = create_train_step(model, config, mesh, dataset=dataset)
+  train_pstep = create_train_step(model, config, mesh, dataset=dataset,
+                                  stats_arg=stats_arg)
 
   return model, state, render_eval_pfn, train_pstep, lr_fn

@@ -37,9 +37,15 @@ def make_global_batch(n, seed=5):
   return types.Batch(rays=rays, rgb=rs.rand(n, 3).astype(np.float32))
 
 
-def _build(num_processes, batch_size):
+def _build(num_processes, batch_size, model_parallel=1, n_devices=None):
   """Identical model/mesh/batch construction for every scenario and the
-  parent's single-process ground truth."""
+  parent's single-process ground truth.
+
+  model_parallel > 1 builds a (data, model) TP mesh and lays the state out
+  with infer_tree_shardings — the combined multi-process x TP scenario.
+  n_devices optionally restricts the mesh to the first n devices so a
+  single-process ground truth can match a smaller cluster's topology.
+  """
   import jax
   import numpy as np
 
@@ -50,9 +56,12 @@ def _build(num_processes, batch_size):
   from multinerf_tpu.parallel import mesh as mesh_lib
 
   ginlite.clear_config()
+  # NerfMLP width 128: wide enough to shard over a 2-way model axis at
+  # min_dim_to_shard=128 (same recipe as test_tensor_parallel.py).
+  nerf_width = 128 if model_parallel > 1 else 16
   ginlite.parse_config_files_and_bindings(
       [], ['PropMLP.net_depth = 2', 'PropMLP.net_width = 16',
-           'NerfMLP.net_depth = 2', 'NerfMLP.net_width = 16',
+           f'NerfMLP.net_depth = 2', f'NerfMLP.net_width = {nerf_width}',
            'Model.num_prop_samples = 8', 'Model.num_nerf_samples = 4',
            'Model.num_levels = 2'])
   config = configs_lib.Config(
@@ -60,13 +69,27 @@ def _build(num_processes, batch_size):
       data_loss_type='mse', near=0.5, far=10.0, max_steps=10,
       lr_delay_steps=0, randomized=False)
 
-  mesh = mesh_lib.create_mesh()
+  devices = jax.devices()[:n_devices] if n_devices else None
+  mesh = mesh_lib.create_mesh(model_parallel=model_parallel, devices=devices)
   dataset = datasets.load_dataset('test', '', config)
   _, state, render_eval_pfn, train_pstep, _ = train_lib.setup_model(
       config, jax.random.PRNGKey(0), mesh=mesh, dataset=dataset)
 
   repl = mesh_lib.replicated(mesh)
-  if num_processes > 1:
+  if model_parallel > 1:
+    shardings = mesh_lib.infer_tree_shardings(state, mesh,
+                                              min_dim_to_shard=128)
+    assert any(s.spec != jax.sharding.PartitionSpec()
+               for s in jax.tree_util.tree_leaves(shardings)), (
+                   'TP layout left every leaf replicated')
+    # Same-seed init exists fully on every process; materialize each leaf
+    # under its TP sharding (works single- and multi-process).
+    def lift(x, sh):
+      x = np.asarray(x)
+      return jax.make_array_from_callback(x.shape, sh,
+                                          lambda idx: x[idx])
+    state = jax.tree_util.tree_map(lift, state, shardings)
+  elif num_processes > 1:
     # Model init ran identically on every process (same seed); lift the
     # host-local replicas into global replicated arrays.
     state = jax.tree_util.tree_map(
@@ -136,20 +159,25 @@ def train_window(train_pstep, state, gbatch, steps):
   return state, losses
 
 
-def run_ckpt(num_processes, ckpt_dir, steps_per_phase=3, batch_size=64):
+def run_ckpt(num_processes, ckpt_dir, steps_per_phase=3, batch_size=64,
+             model_parallel=1, n_devices=None):
   """One phase of the save -> kill -> restore continuation scenario.
 
   Restores the latest checkpoint if one exists (phase 2), trains
   `steps_per_phase` steps, saves — from EVERY process, the orbax multi-host
   contract train.py follows — and reports the losses + start step.  The
   parent asserts phase1+phase2 losses equal an uninterrupted single-process
-  run's.
+  run's.  With model_parallel > 1 the state lives TP-sharded on a
+  (data, model) mesh through the whole cycle (restore included) — the
+  combined multi-process x tensor-parallel scenario.
   """
   import jax
 
   from multinerf_tpu.utils import checkpoints as ckpt_lib
 
-  _, _, _, state, _, train_pstep, gbatch = _build(num_processes, batch_size)
+  _, _, _, state, _, train_pstep, gbatch = _build(
+      num_processes, batch_size, model_parallel=model_parallel,
+      n_devices=n_devices)
 
   ckpt = ckpt_lib.CheckpointManager(ckpt_dir, keep=3)
   state = ckpt.restore_latest(state)
@@ -179,6 +207,8 @@ def main():
     result = run(num_processes)
   elif scenario == 'ckpt':
     result = run_ckpt(num_processes, ckpt_dir=sys.argv[5])
+  elif scenario == 'tp_ckpt':
+    result = run_ckpt(num_processes, ckpt_dir=sys.argv[5], model_parallel=2)
   else:
     raise ValueError(f'unknown scenario {scenario}')
   result['pid'] = proc_id

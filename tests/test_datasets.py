@@ -209,3 +209,54 @@ def test_dummy_scatter_loader_sparse_analytic_scene():
   assert 0.05 < fg < 0.5, fg
   batch = next(train)
   assert np.isfinite(batch.rgb).all()
+
+
+def test_dummy_specular_loader_analytic_shiny_sphere():
+  """Ref-NeRF validation scene: view-DEPENDENT appearance tied to analytic
+  normals (the specular lobe moves with the camera), GT normals unit-length
+  at hits, novel test ring."""
+  config = configs_lib.Config(dataset_loader='dummy_specular', batch_size=64,
+                              near=2.0, far=6.0)
+  train = datasets.load_dataset('train', '', config)
+  test = datasets.load_dataset('test', '', config)
+  assert np.isfinite(train.images).all()
+  assert train.images.min() >= 0.0 and train.images.max() <= 1.0
+  assert not np.allclose(train.camtoworlds, test.camtoworlds)
+  # GT normals: unit length at hits, zero elsewhere; alphas = hit mask.
+  norms = np.linalg.norm(train.normal_images, axis=-1)
+  hit = train.alphas > 0.5
+  assert hit.any() and (~hit).any()
+  np.testing.assert_allclose(norms[hit], 1.0, atol=1e-5)
+  np.testing.assert_allclose(norms[~hit], 0.0, atol=1e-6)
+  # View dependence: the same surface point shaded from two views differs
+  # where the specular lobe lands (a diffuse-only scene would not).
+  n = train.normal_images[0][hit[0]][:200]
+  v1 = np.array([[0.0, -1.0, 0.0]], np.float32)
+  v2 = np.array([[-np.sqrt(0.5), -np.sqrt(0.5), 0.0]], np.float32)
+  c1 = datasets.DummySpecular.shade(n, np.broadcast_to(v1, n.shape),
+                                    np.ones(n.shape[0], bool))
+  c2 = datasets.DummySpecular.shade(n, np.broadcast_to(v2, n.shape),
+                                    np.ones(n.shape[0], bool))
+  assert np.abs(c1 - c2).max() > 0.05
+
+
+def test_dummy_distractor_loader_train_only_distractors():
+  """RobustNeRF validation scene: distractors pasted into train views only,
+  recorded in distractor_masks, covering a minority of each view."""
+  config = configs_lib.Config(dataset_loader='dummy_distractor',
+                              batch_size=64, near=2.0, far=6.0)
+  train = datasets.load_dataset('train', '', config)
+  test = datasets.load_dataset('test', '', config)
+  clean = datasets.load_dataset('test', '', configs_lib.Config(
+      dataset_loader='dummy_scatter', batch_size=64, near=2.0, far=6.0))
+  # Test split is exactly the clean DummyScatter scene.
+  np.testing.assert_array_equal(test.images, clean.images)
+  assert not hasattr(test, 'distractor_masks')
+  # Train views differ from clean renders exactly on the recorded masks.
+  m = train.distractor_masks
+  frac = m.mean(axis=(1, 2))
+  assert (frac > 0.02).all() and (frac < 0.25).all(), frac
+  clean_train = datasets.load_dataset('train', '', configs_lib.Config(
+      dataset_loader='dummy_scatter', batch_size=64, near=2.0, far=6.0))
+  diff = np.abs(train.images - clean_train.images).max(-1) > 1e-6
+  assert not diff[~m].any()

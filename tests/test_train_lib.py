@@ -99,3 +99,56 @@ def test_stats_structure():
   # 2 levels -> 2 mses/psnrs.
   assert np.asarray(stats['mses']).shape == (2,)
   assert {'data', 'interlevel', 'distortion'} <= set(stats['losses'])
+
+def test_stats_arg_decimation_matches_default():
+  """stats_arg=True step: flag=True reproduces the default stats exactly;
+  flag=False produces an identical optimizer update with zeroed tree stats
+  (the production decimation train.py/bench.py/the scan plane rely on)."""
+  ginlite.parse_config_files_and_bindings(
+      [], ['PropMLP.net_depth = 1', 'PropMLP.net_width = 8',
+           'NerfMLP.net_depth = 1', 'NerfMLP.net_width = 8',
+           'Model.num_prop_samples = 4', 'Model.num_nerf_samples = 4',
+           'Model.num_levels = 2'])
+  config = configs_lib.Config(
+      dataset_loader='dummy', batch_size=64, data_loss_type='mse',
+      near=0.5, far=10.0, max_steps=10, lr_delay_steps=0,
+      weight_decay_mults={'NerfMLP_0': 0.1})
+  mesh = mesh_lib.create_mesh()
+  dataset = datasets.load_dataset('train', '', config)
+  rng = jax.random.PRNGKey(0)
+  model, state, _, pstep_default, _ = train_lib.setup_model(
+      config, rng, mesh=mesh, dataset=dataset)
+  pstep_flag = train_lib.create_train_step(model, config, mesh,
+                                           dataset=dataset, stats_arg=True)
+  host_state = jax.device_get(state)
+  batch = mesh_lib.shard_batch_to_global(mesh, next(dataset))
+
+  # The jitted steps donate (rng, state): rematerialize fresh inputs per
+  # call so the donated buffers of one call never feed the next.
+  fresh = lambda: (jax.random.PRNGKey(7),
+                   jax.device_put(host_state, mesh_lib.replicated(mesh)))
+  tree_stat_keys = ['weight_l2s', 'grad_norms', 'grad_maxes',
+                    'opt_update_norms', 'opt_update_maxes']
+  rng_d, state_in = fresh()
+  state_d, stats_d, _ = pstep_default(rng_d, state_in, batch, 0.5, 1.0)
+  rng_t, state_in = fresh()
+  state_t, stats_t, _ = pstep_flag(rng_t, state_in, batch, 0.5, 1.0, True)
+  rng_f, state_in = fresh()
+  state_f, stats_f, _ = pstep_flag(rng_f, state_in, batch, 0.5, 1.0, False)
+  stats_d, stats_t, stats_f = jax.device_get((stats_d, stats_t, stats_f))
+
+  # flag=True == the default path, stats included (weight decay too).
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+      stats_d, stats_t)
+  # flag=False: identical loss + identical parameter update...
+  np.testing.assert_allclose(stats_f['loss'], stats_d['loss'], rtol=1e-6)
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=1e-6),
+      jax.device_get(state_t.params), jax.device_get(state_f.params))
+  # ...with the tree stats zeroed (structure preserved for the TB plumbing).
+  for k in tree_stat_keys:
+    assert set(stats_f[k]) == set(stats_d[k]), k
+    assert all(v == 0.0 for v in jax.tree_util.tree_leaves(stats_f[k])), k
+    assert any(v != 0.0 for v in jax.tree_util.tree_leaves(stats_t[k])), k

@@ -135,7 +135,10 @@ def main(unused_argv):
     postprocess_fn = lambda z, _=None: z
 
   rng, key = jax.random.split(rng)
-  setup = train_lib.setup_model(config, key, mesh=mesh, dataset=dataset)
+  # stats_arg: whole-tree statistics are computed only on the steps whose
+  # values get logged (print cadence) — see train_lib.create_train_step.
+  setup = train_lib.setup_model(config, key, mesh=mesh, dataset=dataset,
+                                stats_arg=True)
   model, state, render_eval_pfn, train_pstep, lr_fn = setup
   # In-train test renders reuse one compile-once whole-image renderer;
   # projective cameras render via in-jit ray casting (one int32 per
@@ -171,7 +174,7 @@ def main(unused_argv):
       from multinerf_tpu.models import culling
       for cap in cull_ladder:
         cull_steps[cap] = train_lib.create_train_step(
-            model, config, mesh, dataset=dataset, cull=cap)
+            model, config, mesh, dataset=dataset, cull=cap, stats_arg=True)
       refresh_grid_fn = culling.make_refresh_fn(model, config, mesh)
 
   device_plane = None
@@ -256,13 +259,18 @@ def main(unused_argv):
     learning_rate = lr_fn(step)
     train_frac = jnp.clip((step - 1) / (config.max_steps - 1), 0, 1)
 
+    # True exactly when this iteration will print: tree stats are computed
+    # on the logged step only (the lax.cond inside the step skips the
+    # whole-tree reductions on the other ~99% of steps).
+    will_print = step0 == init_step or step % config.print_every == 0
+
     if device_plane is None:
       step_fn = train_pstep
       if (cull_cap is not None and cull_cap in cull_steps and
           step0 > config.occupancy_warmup_steps):
         step_fn = cull_steps[cull_cap]
       state, stats, rng = step_fn(rng, state, batch, train_frac,
-                                  loss_threshold)
+                                  loss_threshold, will_print)
       if (refresh_grid_fn is not None and
           step % config.occupancy_grid_refresh_every == 0):
         # Probe the NerfMLP at every grid cell so wrongly-culled cells can
@@ -327,6 +335,20 @@ def main(unused_argv):
                            for k in fs[0]}
         else:
           stats_stacked = {k: np.stack([f[k] for f in fs]) for k in fs[0]}
+
+        # Tree statistics were only computed on logged steps (stats_arg
+        # decimation); keep just those rows so the zero placeholders from
+        # skipped steps never reach the summaries.
+        tree_stat_prefixes = ('weight_l2s/', 'grad_norms/', 'grad_maxes/',
+                              'opt_update_norms/', 'opt_update_maxes/')
+        n_rows = next(iter(stats_stacked.values())).shape[0]
+        buf_steps = np.arange(step - n_rows + 1, step + 1)
+        stats_mask = (buf_steps % config.print_every == 0) | (buf_steps == 1)
+        if not stats_mask.any():
+          stats_mask[-1] = True  # Resume-misaligned first window.
+        for k in list(stats_stacked):
+          if k.startswith(tree_stat_prefixes):
+            stats_stacked[k] = stats_stacked[k][stats_mask]
 
         # Vector-valued stats become one stat per element.
         stats_split = {}
