@@ -48,11 +48,11 @@ def postprocess_raw(raw: _Array, camtorgb: _Array,
   if camtorgb.shape != (3, 3):
     raise ValueError(f'camtorgb.shape is {camtorgb.shape}, expected (3, 3)')
   matmul = mathx.matmul_hp if xnp == jnp else np.matmul
-  rgb_linear = matmul(raw, camtorgb.T)
+  linear_rgb = matmul(raw, camtorgb.T)
   if exposure is None:
-    exposure = xnp.percentile(rgb_linear, 97)
-  rgb_linear_scaled = xnp.clip(rgb_linear / exposure, 0, 1)
-  return image_ops.linear_to_srgb(rgb_linear_scaled, xnp=xnp)
+    exposure = xnp.percentile(linear_rgb, 97)
+  exposed = xnp.clip(linear_rgb / exposure, 0, 1)
+  return image_ops.linear_to_srgb(exposed, xnp=xnp)
 
 
 def pixels_to_bayer_mask(pix_x: _Array, pix_y: _Array,
@@ -146,24 +146,22 @@ def load_raw_images(image_dir: str,
   if not os.path.exists(image_dir):
     raise ValueError(f'Raw image folder {image_dir} does not exist.')
 
-  def load_raw_exif(image_name):
-    base = os.path.join(image_dir, os.path.splitext(image_name)[0])
-    with open(base + '.dng', 'rb') as f:
-      raw = _read_dng(f)
-    with open(base + '.json', 'rb') as f:
+  def read_pair(image_name):
+    stem = os.path.join(image_dir, os.path.splitext(image_name)[0])
+    with open(stem + '.dng', 'rb') as f:
+      mosaic = _read_dng(f)
+    with open(stem + '.json', 'rb') as f:
       exif = json.load(f)[0]
-    return raw, exif
+    return mosaic, exif
 
   if image_names is None:
-    image_names = [
+    image_names = sorted(
         os.path.basename(f)
-        for f in sorted(glob.glob(os.path.join(image_dir, '*.dng')))
-    ]
+        for f in glob.glob(os.path.join(image_dir, '*.dng')))
 
-  data = [load_raw_exif(x) for x in image_names]
-  raws, exifs = zip(*data)
-  raws = np.stack(raws, axis=0).astype(np.float32)
-  return raws, exifs
+  pairs = [read_pair(name) for name in image_names]
+  raws = np.stack([m for m, _ in pairs], axis=0).astype(np.float32)
+  return raws, [e for _, e in pairs]
 
 
 # Brightness percentiles visualized as an exposure sweep in training logs.
@@ -193,27 +191,26 @@ def process_exif(exifs: Sequence[Mapping[str, Any]]
   camera space (via AsShotNeutral) -> XYZ (via ColorMatrix2) -> linear RGB.
   """
   meta = {}
-  exif = exifs[0]
   for key in _EXIF_KEYS:
-    exif_value = exif.get(key)
-    if exif_value is None:
+    sample = exifs[0].get(key)
+    if sample is None:
       continue
-    if isinstance(exif_value, (int, float)):
-      vals = [x[key] for x in exifs]
-    elif isinstance(exif_value, str):
-      vals = [[float(z) for z in x[key].split(' ')] for x in exifs]
-    meta[key] = np.squeeze(np.array(vals))
+    if isinstance(sample, str):  # Space-separated numeric vectors.
+      parsed = [[float(z) for z in e[key].split(' ')] for e in exifs]
+    else:
+      parsed = [e[key] for e in exifs]
+    meta[key] = np.squeeze(np.array(parsed))
   # Shutter speed is written like "1/N".
   meta['ShutterSpeed'] = np.fromiter(
       (1.0 / float(e['ShutterSpeed'].split('/')[1]) for e in exifs), float)
 
-  whitebalance = meta['AsShotNeutral'].reshape(-1, 3)
-  cam2camwb = np.array([np.diag(1.0 / x) for x in whitebalance])
-  xyz2camwb = meta['ColorMatrix2'].reshape(-1, 3, 3)
-  rgb2camwb = xyz2camwb @ _RGB2XYZ
+  wb_gains = 1.0 / meta['AsShotNeutral'].reshape(-1, 3)
+  cam_to_wbcam = np.array([np.diag(g) for g in wb_gains])
+  xyz_to_wbcam = meta['ColorMatrix2'].reshape(-1, 3, 3)
+  rgb_to_wbcam = xyz_to_wbcam @ _RGB2XYZ
   # Row-normalize the color matrix (simple-camera-pipeline convention).
-  rgb2camwb /= rgb2camwb.sum(axis=-1, keepdims=True)
-  meta['cam2rgb'] = np.linalg.inv(rgb2camwb) @ cam2camwb
+  rgb_to_wbcam /= rgb_to_wbcam.sum(axis=-1, keepdims=True)
+  meta['cam2rgb'] = np.linalg.inv(rgb_to_wbcam) @ cam_to_wbcam
   return meta
 
 
@@ -246,12 +243,10 @@ def load_raw_dataset(split: dtypes.DataSplit, data_dir: str,
       testraw = _read_dng(imgin)
     # HDR+ output carries 2 extra fixed-precision bits.
     testraw = testraw.astype(np.float32) / 4.0
-    # Rescale the long-exposure test image by the fast:slow shutter ratio.
-    fast_shutter = meta['ShutterSpeed'][0]
-    slow_shutter = meta['ShutterSpeed'][-1]
-    shutter_ratio = fast_shutter / slow_shutter
+    # Rescale the long-exposure test image by the shortest:longest ratio.
+    shutter_ratio = meta['ShutterSpeed'][0] / meta['ShutterSpeed'][-1]
     raws = testraw[None]
-    meta = {k: meta[k][:1] for k in meta}
+    meta = {k: v[:1] for k, v in meta.items()}
   else:
     shutter_ratio = 1.0
 
@@ -298,13 +293,13 @@ def load_raw_dataset(split: dtypes.DataSplit, data_dir: str,
 
 
 def best_fit_affine(x: _Array, y: _Array, axis: _Axis) -> _Array:
-  """Least-squares a, b with a * x + b ~= y."""
-  x_m = x.mean(axis=axis)
-  y_m = y.mean(axis=axis)
-  xy_m = (x * y).mean(axis=axis)
-  xx_m = (x * x).mean(axis=axis)
-  a = (xy_m - x_m * y_m) / (xx_m - x_m * x_m)
-  b = y_m - a * x_m
+  """Least-squares a, b with a * x + b ~= y (covariance/variance form)."""
+  mean_x = x.mean(axis=axis)
+  mean_y = y.mean(axis=axis)
+  cov_xy = (x * y).mean(axis=axis) - mean_x * mean_y
+  var_x = (x * x).mean(axis=axis) - mean_x * mean_x
+  a = cov_xy / var_x
+  b = mean_y - a * mean_x
   return a, b
 
 

@@ -27,20 +27,20 @@ def lift_gaussian(d, t_mean, t_var, r_var, diag):
   component in the plane perpendicular to d (r_var).
   """
   mean = d[..., None, :] * t_mean[..., None]
-  d_mag_sq = jnp.maximum(1e-10, jnp.sum(d**2, axis=-1, keepdims=True))
+  dir_sq_norm = jnp.maximum(1e-10, jnp.sum(d**2, axis=-1, keepdims=True))
 
   if diag:
-    d_outer_diag = d**2
-    null_outer_diag = 1 - d_outer_diag / d_mag_sq
-    cov_diag = (t_var[..., None] * d_outer_diag[..., None, :] +
-                r_var[..., None] * null_outer_diag[..., None, :])
+    along_diag = d**2
+    perp_diag = 1 - along_diag / dir_sq_norm
+    cov_diag = (t_var[..., None] * along_diag[..., None, :] +
+                r_var[..., None] * perp_diag[..., None, :])
     return mean, cov_diag
 
-  d_outer = d[..., :, None] * d[..., None, :]
+  along_outer = d[..., :, None] * d[..., None, :]
   eye = jnp.eye(d.shape[-1])
-  null_outer = eye - d[..., :, None] * (d / d_mag_sq)[..., None, :]
-  cov = (t_var[..., None, None] * d_outer[..., None, :, :] +
-         r_var[..., None, None] * null_outer[..., None, :, :])
+  perp_outer = eye - d[..., :, None] * (d / dir_sq_norm)[..., None, :]
+  cov = (t_var[..., None, None] * along_outer[..., None, :, :] +
+         r_var[..., None, None] * perp_outer[..., None, :, :])
   return mean, cov
 
 
@@ -53,17 +53,17 @@ def conical_frustum_to_gaussian(d, t0, t1, base_radius, diag, stable=True):
   the textbook Eq 37-39 form for testing only.
   """
   if stable:
-    mu = (t0 + t1) / 2
-    hw = (t1 - t0) / 2
-    denom = jnp.maximum(_F32_EPS, 3 * mu**2 + hw**2)
-    t_mean = mu + (2 * mu * hw**2) / denom
-    t_var = hw**2 / 3 - (4 / 15) * hw**4 * (12 * mu**2 - hw**2) / denom**2
-    r_var = mu**2 / 4 + (5 / 12) * hw**2 - (4 / 15) * hw**4 / denom
+    mid = (t0 + t1) / 2
+    half = (t1 - t0) / 2
+    denom = jnp.maximum(_F32_EPS, 3 * mid**2 + half**2)
+    t_mean = mid + (2 * mid * half**2) / denom
+    t_var = half**2 / 3 - (4 / 15) * half**4 * (12 * mid**2 - half**2) / denom**2
+    r_var = mid**2 / 4 + (5 / 12) * half**2 - (4 / 15) * half**4 / denom
   else:
     t_mean = (3 * (t1**4 - t0**4)) / (4 * (t1**3 - t0**3))
     r_var = 3 / 20 * (t1**5 - t0**5) / (t1**3 - t0**3)
-    t_mosq = 3 / 5 * (t1**5 - t0**5) / (t1**3 - t0**3)
-    t_var = t_mosq - t_mean**2
+    t_second_moment = 3 / 5 * (t1**5 - t0**5) / (t1**3 - t0**3)
+    t_var = t_second_moment - t_mean**2
   r_var = r_var * base_radius**2
   return lift_gaussian(d, t_mean, t_var, r_var, diag)
 
@@ -91,12 +91,12 @@ def cast_rays(tdist, origins, directions, radii, ray_shape, diag=True):
   """
   t0, t1 = tdist[..., :-1], tdist[..., 1:]
   if ray_shape == 'cone':
-    gauss_fn = conical_frustum_to_gaussian
+    to_gaussian = conical_frustum_to_gaussian
   elif ray_shape == 'cylinder':
-    gauss_fn = cylinder_to_gaussian
+    to_gaussian = cylinder_to_gaussian
   else:
     raise ValueError(f"ray_shape must be 'cone' or 'cylinder', got {ray_shape}")
-  means, covs = gauss_fn(directions, t0, t1, radii, diag)
+  means, covs = to_gaussian(directions, t0, t1, radii, diag)
   means = means + origins[..., None, :]
   return means, covs
 
@@ -109,19 +109,19 @@ def compute_alpha_weights(density, tdist, dirs, opaque_background=False):
   """
   t_delta = tdist[..., 1:] - tdist[..., :-1]
   delta = t_delta * jnp.linalg.norm(dirs[..., None, :], axis=-1)
-  density_delta = density * delta
+  optical_depth = density * delta
 
   if opaque_background:
-    density_delta = jnp.concatenate(
-        [density_delta[..., :-1],
-         jnp.full_like(density_delta[..., -1:], jnp.inf)], axis=-1)
+    optical_depth = jnp.concatenate(
+        [optical_depth[..., :-1],
+         jnp.full_like(optical_depth[..., -1:], jnp.inf)], axis=-1)
 
-  alpha = 1 - jnp.exp(-density_delta)
-  trans = jnp.exp(-jnp.concatenate(
-      [jnp.zeros_like(density_delta[..., :1]),
-       jnp.cumsum(density_delta[..., :-1], axis=-1)], axis=-1))
-  weights = alpha * trans
-  return weights, alpha, trans
+  alpha = 1 - jnp.exp(-optical_depth)
+  transmittance = jnp.exp(-jnp.concatenate(
+      [jnp.zeros_like(optical_depth[..., :1]),
+       jnp.cumsum(optical_depth[..., :-1], axis=-1)], axis=-1))
+  weights = alpha * transmittance
+  return weights, alpha, transmittance
 
 
 def volumetric_rendering(rgbs, weights, tdist, bg_rgbs, t_far, compute_extras,
@@ -144,8 +144,8 @@ def volumetric_rendering(rgbs, weights, tdist, bg_rgbs, t_far, compute_extras,
   rendering = {}
 
   acc = weights.sum(axis=-1)
-  bg_w = jnp.maximum(0, 1 - acc[..., None])
-  rendering['rgb'] = (weights[..., None] * rgbs).sum(axis=-2) + bg_w * bg_rgbs
+  bg_weight = jnp.maximum(0, 1 - acc[..., None])
+  rendering['rgb'] = (weights[..., None] * rgbs).sum(axis=-2) + bg_weight * bg_rgbs
 
   if compute_extras:
     rendering['acc'] = acc
@@ -155,20 +155,20 @@ def volumetric_rendering(rgbs, weights, tdist, bg_rgbs, t_far, compute_extras,
         if v is not None:
           rendering[k] = (weights[..., None] * v).sum(axis=-2)
 
-    expectation = lambda x: (weights * x).sum(axis=-1) / jnp.maximum(
-        _F32_EPS, acc)
-    t_mids = 0.5 * (tdist[..., :-1] + tdist[..., 1:])
+    def acc_weighted_mean(x):
+      return (weights * x).sum(axis=-1) / jnp.maximum(_F32_EPS, acc)
+    midpoints = 0.5 * (tdist[..., :-1] + tdist[..., 1:])
     # Log-space expectation for stability over huge depth ranges.
     rendering['distance_mean'] = jnp.clip(
-        jnp.nan_to_num(jnp.exp(expectation(jnp.log(t_mids))), nan=jnp.inf),
+        jnp.nan_to_num(jnp.exp(acc_weighted_mean(jnp.log(midpoints))), nan=jnp.inf),
         tdist[..., 0], tdist[..., -1])
 
     # Pad with a far-plane fencepost carrying the background weight so the
     # weight vector sums to exactly 1 before taking percentiles.
-    t_aug = jnp.concatenate([tdist, t_far], axis=-1)
-    weights_aug = jnp.concatenate([weights, bg_w], axis=-1)
+    fence_dists = jnp.concatenate([tdist, t_far], axis=-1)
+    fence_weights = jnp.concatenate([weights, bg_weight], axis=-1)
     ps = [5, 50, 95]
-    pct = stepfun.weighted_percentile(t_aug, weights_aug, ps)
+    pct = stepfun.weighted_percentile(fence_dists, fence_weights, ps)
     for i, p in enumerate(ps):
       name = 'median' if p == 50 else f'percentile_{p}'
       rendering[f'distance_{name}'] = pct[..., i]

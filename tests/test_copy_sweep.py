@@ -23,31 +23,30 @@ import copy_sweep
 THRESHOLD = 0.30
 
 # path -> (cap, why shared lines are forced, per VERDICT r3 adjudication).
+# Caps sit at measured+0.02 (VERDICT r4 #6) so ANY drift back toward the
+# reference fails CI; round-5 brushing moved ops/rendering.py (0.42->0.28)
+# and data/raw.py (0.39->0.24) below the global threshold entirely.
 FORCED_CONTENT_CAPS = {
     'multinerf_tpu/data/types.py':
-        (0.72, 'pytree field declarations ARE the data-currency contract'),
+        (0.71, 'pytree field declarations ARE the data-currency contract'),
     'multinerf_tpu/configs.py':
-        (0.62, '~100 Config field names/defaults ARE the gin contract'),
+        (0.59, '~100 Config field names/defaults ARE the gin contract'),
     'multinerf_tpu/ops/geopoly.py':
-        (0.58, 'one-way-to-write-it tesselation math, bit-identical bases'),
+        (0.56, 'one-way-to-write-it tesselation math, bit-identical bases'),
     'multinerf_tpu/data/cameras.py':
         (0.47, 'closed-form projection/undistortion + dual-xnp contract'),
     'train.py':
-        (0.40, 'declared loss/stat/TB-name contract forces the remainder'),
+        (0.33, 'declared loss/stat/TB-name contract forces the remainder'),
     'multinerf_tpu/train_lib.py':
-        (0.50, 'loss formulas + config-gated loss assembly are semantics'),
-    'multinerf_tpu/data/raw.py':
-        (0.43, 'EXIF/metadata field semantics force the remaining lines'),
-    'multinerf_tpu/ops/rendering.py':
-        (0.46, 'Eq.7 closed-form moments: the formulas are the spec'),
+        (0.42, 'loss formulas + config-gated loss assembly are semantics'),
     'multinerf_tpu/ops/ref_utils.py':
-        (0.42, 'SH/IDE closed forms, scipy-verified'),
+        (0.40, 'SH/IDE closed forms, scipy-verified'),
     'multinerf_tpu/data/datasets.py':
-        (0.42, 'disk-format-forced loader lines (VERDICT r3: (b))'),
+        (0.35, 'disk-format-forced loader lines (VERDICT r3: (b))'),
     'multinerf_tpu/robust.py':
-        (0.36, 'RobustNeRF mask math per the paper'),
+        (0.34, 'RobustNeRF mask math per the paper'),
     'multinerf_tpu/models/mlp.py':
-        (0.36, 'head zoo wiring; checkpoint-compatible naming'),
+        (0.34, 'head zoo wiring; checkpoint-compatible naming'),
 }
 
 
