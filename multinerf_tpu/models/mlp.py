@@ -164,8 +164,10 @@ class MLP(nn.Module):
   # cotangents) in bf16, halving the HBM traffic of the wide trunk.
   # 'int8' runs the hidden layers' matmuls (forward AND both gradient
   # matmuls) through dynamically-quantized int8 on the 2x-rate int8 MXU
-  # path (ops/quant.py); params/checkpoints stay f32 and are
-  # interchangeable across all three modes.  Heads (density, rgb, normals,
+  # path (ops/quant.py); 'int8_hybrid' keeps the int8 forward but runs the
+  # backward unquantized in bf16 (exact linearization of the quantized
+  # forward — VERDICT r4 #1b probe).  params/checkpoints stay f32 and are
+  # interchangeable across all modes.  Heads (density, rgb, normals,
   # bottleneck) always compute/store f32.
   trunk_dtype: str = 'float32'
   # Fused featurize->first-matmul Pallas kernel (ops/pallas/featurize_dense):
@@ -255,10 +257,11 @@ class MLP(nn.Module):
         features, kernel_init=kernel_init, name=f'Dense_{next(_dense_ids)}')
     # Hidden trunk/view-branch layers honor trunk_dtype; param storage (and
     # therefore checkpoints and the optimizer) stays f32 in every mode.
-    if self.trunk_dtype == 'int8':
+    if self.trunk_dtype in ('int8', 'int8_hybrid'):
       from multinerf_tpu.ops import quant
       dense_hidden = lambda features: quant.QuantDense(
           features, kernel_init=kernel_init,
+          hybrid=self.trunk_dtype == 'int8_hybrid',
           name=f'Dense_{next(_dense_ids)}')
     else:
       hidden_dtype = jnp.dtype(self.trunk_dtype)
@@ -326,7 +329,7 @@ class MLP(nn.Module):
           raw_density += self.density_noise * jax.random.normal(
               density_key, raw_density.shape)
         return raw_density, None
-      if use_fused_feat and self.trunk_dtype == 'int8' and (
+      if use_fused_feat and self.trunk_dtype in ('int8', 'int8_hybrid') and (
           self.net_activation is nn.relu):
         # Fully-fused int8 trunk: featurize + every trunk layer in ONE
         # Pallas kernel, hidden dots on the 2x-rate int8 MXU path,
@@ -352,7 +355,8 @@ class MLP(nn.Module):
             means, covs, ws, bs_, self.pos_basis_t,
             min_deg=self.min_deg_point, max_deg=self.max_deg_point,
             use_contract=self.warp_fn is coord.contract,
-            skip_layers=skip_ids, interpret=fused_kw['interpret'])
+            skip_layers=skip_ids, interpret=fused_kw['interpret'],
+            bwd_bf16=self.trunk_dtype == 'int8_hybrid')
       elif use_fused_feat:
         # Features live only in VMEM: the first layer and every skip-point
         # layer recompute+contract them in one Pallas kernel each.

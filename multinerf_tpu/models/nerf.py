@@ -571,6 +571,7 @@ class DeviceImageRenderer:
     self._height, self._width = dataset.height, dataset.width
     self._near, self._far = float(dataset.near), float(dataset.far)
     self._whole_fn = None
+    self._many_fns = {}  # K -> jitted K-frame batched renderer.
 
     import numpy as np
     pixtocams, camtoworlds, distortion_params, pixtocam_ndc = (
@@ -624,27 +625,31 @@ class DeviceImageRenderer:
     return self._camera_lib.cast_ray_batch(self._cameras, pixels,
                                            self._camtype, xnp=jnp)
 
-  def _build(self):
+  def _whole_image_core(self, params, train_frac, rng, cam_idx):
+    """Traceable one-frame render: chunk scan + on-device assembly."""
     config = self._config
     render_fn = self._render_fn
     height, width = self._height, self._width
     chunk, num_chunks, padding = _plan_chunks(config, height * width)
 
-    def whole_image(params, train_frac, rng, cam_idx):
-      def body(carry, chunk_i):
-        rays = self._cast_chunk(chunk_i * chunk, chunk, cam_idx)
-        renderings, _ = render_fn(params, train_frac, rng, rays)
-        return carry, _keep_chunk_outputs(renderings, config)
+    def body(carry, chunk_i):
+      rays = self._cast_chunk(chunk_i * chunk, chunk, cam_idx)
+      renderings, _ = render_fn(params, train_frac, rng, rays)
+      return carry, _keep_chunk_outputs(renderings, config)
 
-      _, outs = jax.lax.scan(body, None, jnp.arange(num_chunks))
-      return _assemble_image(outs, config, height, width, chunk,
-                             num_chunks, padding)
+    _, outs = jax.lax.scan(body, None, jnp.arange(num_chunks))
+    return _assemble_image(outs, config, height, width, chunk,
+                           num_chunks, padding)
 
-    out_shardings = None
+  def _out_shardings(self):
     if self._mesh is not None and jax.process_count() > 1:
       from multinerf_tpu.parallel import mesh as mesh_lib
-      out_shardings = mesh_lib.replicated(self._mesh)
-    return jax.jit(whole_image, out_shardings=out_shardings)
+      return mesh_lib.replicated(self._mesh)
+    return None
+
+  def _build(self):
+    return jax.jit(self._whole_image_core,
+                   out_shardings=self._out_shardings())
 
   def __call__(self, params, train_frac, cam_idx, rng=None, fetch=True):
     """Render the dataset's camera `cam_idx` (one scalar to the device)."""
@@ -652,6 +657,39 @@ class DeviceImageRenderer:
       self._whole_fn = self._build()
     rendering = self._whole_fn(params, train_frac, rng,
                                jnp.int32(cam_idx))
+    return jax.device_get(rendering) if fetch else rendering
+
+  def render_many(self, params, train_frac, cam_indices, rng=None,
+                  fetch=True):
+    """Render several cameras in ONE dispatch + ONE fetch.
+
+    Small frames are dispatch-latency-bound (at 64x64 the ~18 ms of
+    compute is dwarfed by per-frame host round trips — DESIGN.md round-4
+    measurement), so an outer lax.scan over camera indices amortizes the
+    round trip across the batch: the host ships one small int32 vector and
+    fetches one stacked rendering dict for all K frames.
+
+    Args:
+      params, train_frac, rng: as __call__.
+      cam_indices: sequence of dataset camera indices (length K; one
+        compiled function is cached per distinct K).
+
+    Returns:
+      dict of [K, H, W, c] stacked buffers (+ stacked vis bundles).
+    """
+    import numpy as np
+    cam_indices = jnp.asarray(np.asarray(cam_indices, np.int32))
+    k = int(cam_indices.shape[0])
+    if k not in self._many_fns:
+      def many(params, train_frac, rng, cams):
+        def frame(carry, cam_idx):
+          return carry, self._whole_image_core(params, train_frac, rng,
+                                               cam_idx)
+        _, outs = jax.lax.scan(frame, None, cams)
+        return outs
+      self._many_fns[k] = jax.jit(many,
+                                  out_shardings=self._out_shardings())
+    rendering = self._many_fns[k](params, train_frac, rng, cam_indices)
     return jax.device_get(rendering) if fetch else rendering
 
 

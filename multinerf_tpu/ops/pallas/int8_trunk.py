@@ -23,6 +23,14 @@ Quantization scheme (ops/quant.py's contract, finer-grained):
   operands; dx contracts over output channels with per-in weight scales
   and per-column gradient scales.  Per-tile quantization is strictly
   finer-grained than the XLA path's whole-batch scales.
+* hybrid mode (``bwd_bf16=True``, MLP.trunk_dtype='int8_hybrid'): the
+  forward stays int8 but the backward's dW/dx dots run bf16 with NO
+  gradient quantization — dx flows through the forward's own dequantized
+  weights (w_q * sw), so it is the exact linearization of the quantized
+  forward.  This also drops the second per-input-channel weight copy from
+  the backward's DMA set.  Probes whether the int8 training wash
+  (docs/DESIGN.md round 3) was the backward's quantization overhead/noise
+  rather than the int8 MACs themselves (VERDICT r4 #1b).
 * dots accumulate int32 on the MXU; dequantization is a rank-1 scale
   multiply fused into the relu epilogue in registers.
 
@@ -158,7 +166,7 @@ def _fwd_kernel(m_ref, c9_ref, bt_ref, bbt_ref, *refs, num_layers, min_deg,
 
 
 def _bwd_kernel(m_ref, c9_ref, bt_ref, bbt_ref, *refs, num_layers, min_deg,
-                max_deg, use_contract, arity, skip_set):
+                max_deg, use_contract, arity, skip_set, bwd_bf16=False):
   layers, bs, rest = _unpack(refs, num_layers, arity)
   g_ref = rest[0]
   out_refs = rest[1:]  # dW x L then db x L, grid-accumulated.
@@ -177,6 +185,13 @@ def _bwd_kernel(m_ref, c9_ref, bt_ref, bbt_ref, *refs, num_layers, min_deg,
     da = da * (acts[l] > 0)  # post-relu cotangent -> pre-activation.
     if l == 0:
       out_refs[0][:] += _dot_bf16(feats, da.T, ((1,), (0,)))
+    elif bwd_bf16:
+      # Hybrid: unquantized bf16 gradient gemm (straight-through dW).
+      dw = _dot_bf16(acts[l - 1], da.T, ((1,), (0,)))
+      if l in skip_set:
+        dw = jnp.concatenate(
+            [dw, _dot_bf16(feats, da.T, ((1,), (0,)))], axis=0)
+      out_refs[l][:] += dw
     else:
       x_in = acts[l - 1]
       # NN-layout int8 gemm for dW: transpose da in f32 FIRST (VPU), so
@@ -194,15 +209,22 @@ def _bwd_kernel(m_ref, c9_ref, bt_ref, bbt_ref, *refs, num_layers, min_deg,
       out_refs[l][:] += dw
     out_refs[num_layers + l][:] += jnp.sum(da, axis=-1)[None, :]
     if l > 0:
-      wq2, sw2 = layers[l][2], layers[l][3]
-      dac_q, sdac = _qcols(da)
-      da = (_dot_i8(wq2, dac_q, ((1,), (0,))).astype(jnp.float32) *
-            (sw2 * sdac))
+      if bwd_bf16:
+        # Exact dx of the quantized forward: propagate through the SAME
+        # dequantized weights the forward used (w_q * sw), in bf16.
+        w_q, sw = layers[l][0], layers[l][1]
+        da = _dot_bf16(w_q.astype(jnp.float32) * sw, da, ((1,), (0,)))
+      else:
+        wq2, sw2 = layers[l][2], layers[l][3]
+        dac_q, sdac = _qcols(da)
+        da = (_dot_i8(wq2, dac_q, ((1,), (0,))).astype(jnp.float32) *
+              (sw2 * sdac))
 
 
 @functools.lru_cache(maxsize=8)
 def _make_fn(basis_bytes, basis_shape, min_deg, max_deg, use_contract,
-             num_layers, width, skip_layers, num_feats_expected, interpret):
+             num_layers, width, skip_layers, num_feats_expected, interpret,
+             bwd_bf16=False):
   """Build the custom-VJP fused int8 trunk for one static config."""
   basis = np.frombuffer(basis_bytes, dtype=np.float32).reshape(basis_shape)
   num_dims = basis.shape[-1]
@@ -215,12 +237,17 @@ def _make_fn(basis_bytes, basis_shape, min_deg, max_deg, use_contract,
       (base * base) *
       np.einsum('ik,jk->kij', basis, basis).reshape(num_dims, 9), np.float32)
   skip_set = frozenset(skip_layers)
-  # Forward kernels take (w_q, sw[, w_tail]); the backward additionally
-  # DMAs the per-input-channel copies (wq2, sw2) for its dx matmuls.
+  # Forward kernels take (w_q, sw[, w_tail]); the int8 backward
+  # additionally DMAs the per-input-channel copies (wq2, sw2) for its dx
+  # matmuls.  The hybrid backward propagates dx through the forward's own
+  # (w_q, sw), so its DMA set equals the forward's.
   arity_fwd = tuple(1 if l == 0 else (3 if l in skip_set else 2)
                     for l in range(num_layers))
-  arity_bwd = tuple(1 if l == 0 else (5 if l in skip_set else 4)
-                    for l in range(num_layers))
+  if bwd_bf16:
+    arity_bwd = arity_fwd
+  else:
+    arity_bwd = tuple(1 if l == 0 else (5 if l in skip_set else 4)
+                      for l in range(num_layers))
   # The backward holds every layer's dW accumulator in VMEM (~34 MB at
   # 8x1024) — beyond Mosaic's default scoped-vmem budget, within v5e's
   # 128 MB.  Leave headroom for acts + weights + double buffering.
@@ -258,7 +285,7 @@ def _make_fn(basis_bytes, basis_shape, min_deg, max_deg, use_contract,
         specs.append(whole((num_feats, width)))
         continue
       specs += [whole((width, width)), whole((1, width))]
-      if for_bwd:
+      if for_bwd and not bwd_bf16:
         specs += [whole((width, width)), whole((width, 1))]
       if l in skip_set:
         specs.append(whole((num_feats, width)))
@@ -268,7 +295,7 @@ def _make_fn(basis_bytes, basis_shape, min_deg, max_deg, use_contract,
   def _flatten_layers(qlayers, bs, for_bwd):
     flat = []
     for l, t in enumerate(qlayers):
-      if l == 0 or for_bwd:
+      if l == 0 or (for_bwd and not bwd_bf16):
         flat.extend(t)
       else:
         flat.extend((t[0], t[1]) + ((t[4],) if l in skip_set else ()))
@@ -316,7 +343,7 @@ def _make_fn(basis_bytes, basis_shape, min_deg, max_deg, use_contract,
     kern = functools.partial(_bwd_kernel, num_layers=num_layers,
                              min_deg=min_deg, max_deg=max_deg,
                              use_contract=use_contract, arity=arity_bwd,
-                             skip_set=skip_set)
+                             skip_set=skip_set, bwd_bf16=bwd_bf16)
     out_shapes, out_specs = _dw_shapes_specs()
     outs = pl.pallas_call(
         kern,
@@ -353,7 +380,8 @@ def _make_fn(basis_bytes, basis_shape, min_deg, max_deg, use_contract,
 
 
 def int8_trunk(means, covs, ws, bs, basis, min_deg=0, max_deg=12,
-               use_contract=True, skip_layers=(), interpret=False):
+               use_contract=True, skip_layers=(), interpret=False,
+               bwd_bf16=False):
   """Fused featurize + int8 trunk; returns the final activation.
 
   Equivalent (to int8 quantization of the hidden layers; layer 0 and the
@@ -374,6 +402,8 @@ def int8_trunk(means, covs, ws, bs, basis, min_deg=0, max_deg=12,
     bs: biases [W].
     skip_layers: static layer indices (models/mlp.py: i with
       (i - 1) % skip_layer == 0 and i > 1).
+    bwd_bf16: hybrid mode — int8 forward, UNQUANTIZED bf16 backward (see
+      module docstring).
 
   Gradients flow to every weight/bias; means/covs receive zeros.
   """
@@ -383,7 +413,7 @@ def int8_trunk(means, covs, ws, bs, basis, min_deg=0, max_deg=12,
   fn = _make_fn(basis.tobytes(), basis.shape, int(min_deg), int(max_deg),
                 bool(use_contract), len(ws), width,
                 tuple(sorted(int(s) for s in skip_layers)), num_feats,
-                bool(interpret))
+                bool(interpret), bool(bwd_bf16))
   batch_shape = means.shape[:-1]
   out = fn(jax.lax.stop_gradient(means.reshape(-1, 3)),
            jax.lax.stop_gradient(covs.reshape(-1, 9)),

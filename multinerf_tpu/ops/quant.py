@@ -108,6 +108,40 @@ def _int8_matmul_bwd(res, g):
 int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
 
 
+@jax.custom_vjp
+def int8_matmul_hybrid(x, w):
+  """int8 forward (identical values to int8_matmul), bf16 backward.
+
+  The backward runs both gradient matmuls UNQUANTIZED in bf16, with dx
+  propagated through the forward's own dequantized weights (q8(w) * sw) —
+  the exact linearization of the quantized forward, with no gradient
+  quantization noise (VERDICT r4 #1b hybrid probe).
+  """
+  return int8_matmul(x, w)
+
+
+def _int8_matmul_hybrid_fwd(x, w):
+  wq, sw = absmax_quantize(w, axis=0)
+  xq, sx = absmax_quantize(x, axis=-1)
+  y = _int8_dot(xq, wq).astype(jnp.float32) * (sx * sw)
+  return y, (x, wq.astype(jnp.float32) * sw)
+
+
+def _int8_matmul_hybrid_bwd(res, g):
+  x, w_deq = res
+  g16 = g.astype(jnp.bfloat16)
+  dx = jax.lax.dot_general(
+      g16, w_deq.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  dw = jax.lax.dot_general(
+      x.astype(jnp.bfloat16), g16, (((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  return dx.astype(x.dtype), dw
+
+
+int8_matmul_hybrid.defvjp(_int8_matmul_hybrid_fwd, _int8_matmul_hybrid_bwd)
+
+
 class QuantDense(nn.Module):
   """Drop-in ``nn.Dense`` with an int8-quantized matmul.
 
@@ -123,6 +157,7 @@ class QuantDense(nn.Module):
   features: int
   kernel_init: Any = nn.initializers.lecun_normal()
   out_dtype: Any = jnp.bfloat16
+  hybrid: bool = False  # int8 forward, unquantized bf16 backward.
 
   @nn.compact
   def __call__(self, x):
@@ -130,6 +165,7 @@ class QuantDense(nn.Module):
                         (x.shape[-1], self.features))
     bias = self.param('bias', nn.initializers.zeros, (self.features,))
     lead = x.shape[:-1]
-    y = int8_matmul(x.reshape(-1, x.shape[-1]), kernel)
+    matmul = int8_matmul_hybrid if self.hybrid else int8_matmul
+    y = matmul(x.reshape(-1, x.shape[-1]), kernel)
     y = (y + bias).astype(self.out_dtype)
     return y.reshape(lead + (self.features,))

@@ -153,3 +153,28 @@ def test_scan_and_loop_paths_agree_through_renderer(setup):
   np.testing.assert_allclose(got['rgb'], np.asarray(want['rgb']), atol=1e-5)
   np.testing.assert_allclose(got['distance_mean'],
                              np.asarray(want['distance_mean']), atol=1e-4)
+
+
+def test_render_many_matches_per_frame_calls(setup):
+  """The K-frame batched dispatch must reproduce K single dispatches."""
+  import dataclasses as dc
+  from multinerf_tpu.data import datasets
+
+  config, mesh, state, render_pfn = setup
+  config = dc.replace(config, dataset_loader='dummy_sphere', near=2.0,
+                      far=6.0, render_chunk_size=256)
+  dataset = datasets.load_dataset('test', '', config)
+  device = models.DeviceImageRenderer(render_pfn, config, dataset,
+                                      mesh=mesh)
+  cams = [0, 2, 5]
+  stacked = device.render_many(state.params, 1.0, cams)
+  assert stacked['rgb'].shape[0] == len(cams)
+  for row, cam_idx in enumerate(cams):
+    single = device(state.params, 1.0, cam_idx)
+    np.testing.assert_allclose(stacked['rgb'][row], single['rgb'],
+                               atol=1e-6)
+    np.testing.assert_allclose(stacked['acc'][row], single['acc'],
+                               atol=1e-6)
+  # One compiled fn per K, cached.
+  device.render_many(state.params, 1.0, [1, 3, 4])
+  assert set(device._many_fns) == {3}

@@ -154,3 +154,82 @@ def test_mlp_int8_fused_param_tree_matches_unfused():
   # And the fused path runs + produces finite density on the same params.
   out = build(True).apply(v_unfused, None, (means, covs), viewdirs=viewdirs)
   assert np.all(np.isfinite(np.asarray(out['density'])))
+
+
+@pytest.mark.parametrize('skip', [(), (2,)])
+def test_hybrid_forward_identical_to_int8(skip):
+  """bwd_bf16 changes ONLY the backward: forwards are bit-identical."""
+  means, covs, ws, bs, basis = _setup(skip=skip)
+  kw = dict(min_deg=0, max_deg=4, skip_layers=skip, interpret=True)
+  a = i8t.int8_trunk(means, covs, ws, bs, basis, **kw)
+  b = i8t.int8_trunk(means, covs, ws, bs, basis, bwd_bf16=True, **kw)
+  np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize('skip', [(), (2,)])
+def test_hybrid_gradients_consistent_with_int8_and_f32(skip):
+  """The hybrid backward shares the int8 backward's forward recompute
+  (identical activations and relu masks — forwards are bit-equal), so the
+  two backwards must agree up to the int8 path's gradient-quantization
+  noise (~1-2%); and like the int8 backward it must track f32 autodiff of
+  the unquantized trunk within the established STE band."""
+  means, covs, ws, bs, basis = _setup(skip=skip)
+  rs = np.random.RandomState(1)
+  co = jnp.asarray(rs.randn(means.shape[0], ws[-1].shape[-1]), jnp.float32)
+
+  def loss(ws, bs, bwd_bf16):
+    out = i8t.int8_trunk(means, covs, ws, bs, basis, min_deg=0, max_deg=4,
+                         skip_layers=skip, interpret=True,
+                         bwd_bf16=bwd_bf16)
+    return jnp.sum(out.astype(jnp.float32) * co)
+
+  def loss_f(ws, bs):
+    return jnp.sum(_f32_trunk(means, covs, ws, bs, basis, skip) * co)
+
+  (dws_h, dbs_h) = jax.grad(loss, argnums=(0, 1))(tuple(ws), tuple(bs),
+                                                  True)
+  (dws_q, dbs_q) = jax.grad(loss, argnums=(0, 1))(tuple(ws), tuple(bs),
+                                                  False)
+  (dws_f, dbs_f) = jax.grad(loss_f, argnums=(0, 1))(tuple(ws), tuple(bs))
+  for l, (gh, gq) in enumerate(zip(dws_h + dbs_h, dws_q + dbs_q)):
+    rel = (np.linalg.norm(np.asarray(gh) - np.asarray(gq)) /
+           max(np.linalg.norm(np.asarray(gq)), 1e-6))
+    assert rel < 0.05, (l, rel)
+  for l, (gh, gf) in enumerate(zip(dws_h + dbs_h, dws_f + dbs_f)):
+    rel = (np.linalg.norm(np.asarray(gh) - np.asarray(gf)) /
+           max(np.linalg.norm(np.asarray(gf)), 1e-6))
+    assert rel < 0.15, (l, rel)
+  for l, (gh, gf) in enumerate(zip(dws_h, dws_f)):
+    cos = np.sum(np.asarray(gh) * np.asarray(gf)) / max(
+        np.linalg.norm(np.asarray(gh)) * np.linalg.norm(np.asarray(gf)),
+        1e-12)
+    assert cos > 0.98, (l, cos)
+
+
+def test_mlp_int8_hybrid_param_tree_and_forward():
+  """trunk_dtype='int8_hybrid' shares the int8 param tree (checkpoints
+  interchangeable) and its forward equals trunk_dtype='int8' exactly."""
+  from multinerf_tpu.models import mlp as mlp_lib
+
+  def build(dtype):
+    return mlp_lib.MLP(
+        net_depth=3, net_width=64, bottleneck_width=16,
+        net_width_viewdirs=16, deg_view=2, skip_layer=2,
+        disable_density_normals=True, trunk_dtype=dtype,
+        warp_fn=coord.contract, use_fused_featurize=True)
+
+  rng = jax.random.PRNGKey(0)
+  means = jax.random.normal(rng, (16, 4, 3))
+  covs = jnp.broadcast_to(0.01 * jnp.eye(3), (16, 4, 3, 3))
+  viewdirs = jnp.broadcast_to(jnp.array([0., 0., 1.]), (16, 3))
+  v8 = build('int8').init(rng, None, (means, covs), viewdirs=viewdirs)
+  vh = build('int8_hybrid').init(rng, None, (means, covs),
+                                 viewdirs=viewdirs)
+  t8 = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), v8)
+  th = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vh)
+  assert t8 == th
+  out8 = build('int8').apply(v8, None, (means, covs), viewdirs=viewdirs)
+  outh = build('int8_hybrid').apply(v8, None, (means, covs),
+                                    viewdirs=viewdirs)
+  np.testing.assert_array_equal(np.asarray(out8['density']),
+                                np.asarray(outh['density']))

@@ -128,3 +128,44 @@ def test_mlp_int8_trunk_forward_and_grad(width):
   # Hidden-layer kernels receive nonzero gradient through the int8 path.
   gsum = sum(float(jnp.abs(g).sum()) for g in leaves)
   assert gsum > 0
+
+
+def test_int8_matmul_hybrid_forward_identical_grads_tighter():
+  """Hybrid: forward bit-identical to int8_matmul; backward unquantized
+  bf16 — gradient error vs f32 must be well inside the int8 band."""
+  rng = np.random.RandomState(3)
+  x = jnp.asarray(rng.randn(64, 48).astype(np.float32))
+  w = jnp.asarray(rng.randn(48, 32).astype(np.float32) / 7.0)
+  co = jnp.asarray(rng.randn(64, 32).astype(np.float32))
+
+  np.testing.assert_array_equal(
+      np.asarray(quant.int8_matmul_hybrid(x, w)),
+      np.asarray(quant.int8_matmul(x, w)))
+
+  gx_h, gw_h = jax.grad(
+      lambda x, w: jnp.sum(quant.int8_matmul_hybrid(x, w) * co),
+      argnums=(0, 1))(x, w)
+  gx_f, gw_f = jax.grad(
+      lambda x, w: jnp.sum((x @ w) * co), argnums=(0, 1))(x, w)
+  # dW is the exact bf16 x^T g (no quantization at all) -> ~bf16 rounding.
+  rel_w = (np.linalg.norm(np.asarray(gw_h) - np.asarray(gw_f)) /
+           np.linalg.norm(np.asarray(gw_f)))
+  assert rel_w < 0.01, rel_w
+  # dx flows through the DEQUANTIZED weights (exact linearization of the
+  # quantized forward): bounded by the weight quantization step.
+  rel_x = (np.linalg.norm(np.asarray(gx_h) - np.asarray(gx_f)) /
+           np.linalg.norm(np.asarray(gx_f)))
+  assert rel_x < 0.015, rel_x
+
+
+def test_quant_dense_hybrid_param_tree_and_forward():
+  rng = jax.random.PRNGKey(0)
+  x = jax.random.normal(rng, (32, 24))
+  m8 = quant.QuantDense(features=16)
+  mh = quant.QuantDense(features=16, hybrid=True)
+  v8 = m8.init(rng, x)
+  vh = mh.init(rng, x)
+  assert (jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), v8) ==
+          jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), vh))
+  np.testing.assert_array_equal(np.asarray(m8.apply(v8, x)),
+                                np.asarray(mh.apply(v8, x)))
