@@ -204,7 +204,14 @@ def build_reference_arch_step(arch: str, batch_size: int, seed: int = 0):
   import flax
   import jax
   import jax.numpy as jnp
+  import math as _stdlib_math
   import numpy as np
+
+  # The reference spells stdlib math as np.math (a numpy<2 alias) in its
+  # IDE coefficient table (ref_utils.py:80); restore the alias so the
+  # checkout executes as-is under numpy 2.
+  if not hasattr(np, 'math'):
+    np.math = _stdlib_math
 
   ref = import_reference()
   base_mlp = ref.models.MLP
