@@ -532,17 +532,24 @@ def main():
   # and the real-recurrence IDE vs complex powers (ref_utils.py:98-159).
   arch_rays = {}
   for arch_name in ('refnerf', 'raw'):
-    # One arch arm failing must not take down the headline metric line:
-    # record the arm as absent and keep going.
+    # A failing arm must not take down the headline metric line, and a
+    # failing REFERENCE side must not take down OUR side's number.
     try:
       state_a, step_a, batch_a, model_a, arch_bs = build_arch(arch_name)
       ours_a = time_variant(state_a, step_a, batch_a)
-      ref_a = time_reference_arch(arch_name)
-      arch_rays[arch_name] = (ours_a, ref_a, arch_bs)
     except Exception as e:  # pragma: no cover - defensive bench guard
       import traceback
-      print(f'# arch {arch_name} A/B failed: {e!r}', flush=True)
+      print(f'# arch {arch_name} (ours) failed: {e!r}', flush=True)
       traceback.print_exc()
+      continue
+    try:
+      ref_a = time_reference_arch(arch_name)
+    except Exception as e:  # pragma: no cover - defensive bench guard
+      import traceback
+      print(f'# arch {arch_name} (reference) failed: {e!r}', flush=True)
+      traceback.print_exc()
+      ref_a = None
+    arch_rays[arch_name] = (ours_a, ref_a, arch_bs)
 
   n_chips = jax.device_count()
   denom = ref_impl_rays_per_sec or ref_algo_rays_per_sec

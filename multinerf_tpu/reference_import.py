@@ -182,6 +182,25 @@ def build_reference_360_image_render(seed: int = 0):
   return render_frame, ref, config
 
 
+def substitute_real_ide() -> None:
+  """Swap the reference's complex-power IDE for our real-valued one.
+
+  The axon TPU backend has no complex64 support (probed:
+  scripts/refnerf_tpu_diag.py — complex pow/matmul raise UNIMPLEMENTED,
+  and the resulting backend error poisons subsequent fetches in the same
+  client), while the reference's IDE computes (x+iy)^m via complex powers
+  (reference ref_utils.py:146).  Our recurrence IDE is value-identical
+  (pinned to atol 2e-5 at deg_view 2/4/5 against the reference's own
+  function on CPU — tests/test_reference_parity.py), so substituting it
+  lets the reference Ref-NeRF stack execute on this chip with every other
+  line its own.  Callers must record the substitution in their output.
+  """
+  import_reference()  # Ensures the checkout is importable.
+  from multinerf_tpu.ops import ref_utils as our_ref_utils
+  import internal.ref_utils as ref_refutils_mod  # noqa: PLC0415
+  ref_refutils_mod.generate_ide_fn = our_ref_utils.generate_ide_fn
+
+
 def build_reference_arch_step(arch: str, batch_size: int, seed: int = 0):
   """The reference's ACTUAL pmap train step at a non-360 flagship arch.
 
@@ -215,6 +234,9 @@ def build_reference_arch_step(arch: str, batch_size: int, seed: int = 0):
 
   ref = import_reference()
   base_mlp = ref.models.MLP
+
+  if arch == 'refnerf' and jax.default_backend() != 'cpu':
+    substitute_real_ide()  # No complex64 on the TPU backend (see helper).
 
   if arch == 'refnerf':
     nerf_kw = dict(

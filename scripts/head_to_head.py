@@ -292,12 +292,20 @@ def main():
   from multinerf_tpu.parallel import mesh as mesh_lib
   import flax
 
+  ide_substituted = False
   if arch.get('style') == 'refnerf':
     # The reference spells stdlib math as np.math (a numpy<2 alias) in its
     # IDE (ref_utils.py:38); restore the alias so it executes as-is.
     import math as _math
     if not hasattr(np, 'math'):
       np.math = _math
+    # No complex64 on the TPU backend -> swap the reference's complex-
+    # power IDE for our value-identical real one (rationale + parity pin:
+    # reference_import.substitute_real_ide); recorded in the output JSON.
+    from multinerf_tpu import reference_import
+    if jax.default_backend() != 'cpu':
+      reference_import.substitute_real_ide()
+      ide_substituted = True
 
   ours = build_ours(arch, loader, args.steps)
   ref, ref_config, ref_model = build_reference(arch, args.steps)
@@ -436,6 +444,10 @@ def main():
       'identical_init': True,
       'identical_batches': True,
       'own_render_paths': True,
+      # True when the reference stack ran with our real-valued IDE in
+      # place of its complex-power one (no complex64 on this backend;
+      # value-identical, parity-pinned — see the substitution comment).
+      'reference_ide_substituted': ide_substituted,
       'history': history,
       'train_sec': {k: round(v, 1) for k, v in wall.items()},
       'final_psnr_gap_db': round(history[-1]['ours_test_psnr'] -
