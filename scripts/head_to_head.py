@@ -283,6 +283,10 @@ def main():
                       help='Held-out frames per intermediate eval '
                            '(the final eval always uses every test frame).')
   parser.add_argument('--out', default='docs')
+  parser.add_argument('--seed', type=int, default=0,
+                      help='Offsets the shared-init and per-stack step RNG '
+                           'keys (a second seed distinguishes run noise '
+                           'from systematic divergence).')
   args = parser.parse_args()
 
   arch = ARCHS[args.arch]
@@ -317,7 +321,7 @@ def main():
       for i in range(ours['test_data'].images.shape[0]))
   example_batch = next(ours['train_data'])
   ref_vars = ref_model.init(
-      jax.random.PRNGKey(20), rng=None,
+      jax.random.PRNGKey(20 + 100 * args.seed), rng=None,
       rays=to_ref_rays(ref, jax.tree_util.tree_map(
           lambda x: x[:10], example_batch.rays)),
       train_frac=1.0, compute_extras=False, zero_glo=True)
@@ -339,13 +343,13 @@ def main():
   ref_train_pstep = ref.train_utils.create_train_step(ref_model, ref_config)
   ref_render_pfn = ref.train_utils.create_render_fn(ref_model)
   ref_state = flax.jax_utils.replicate(ref_state)
-  ref_rngs = jax.random.split(jax.random.PRNGKey(30),
+  ref_rngs = jax.random.split(jax.random.PRNGKey(30 + 100 * args.seed),
                               jax.local_device_count())
 
   our_renderer = our_models.ImageRenderer(ours['render_eval_pfn'],
                                           ours['config'], mesh=mesh)
 
-  our_rng = jax.random.PRNGKey(31)
+  our_rng = jax.random.PRNGKey(31 + 100 * args.seed)
   history = []
   wall = {'ours': 0.0, 'reference': 0.0}
 
