@@ -232,3 +232,35 @@ def test_reflect_and_mae_parity():
   np.testing.assert_allclose(
       np.array(ref_utils.reflect(jnp.array(v), jnp.array(n))),
       np.array(ref_refutils.reflect(jnp.array(v), jnp.array(n))), atol=1e-6)
+
+
+def test_substitute_real_ide_patches_value_identically():
+  """The no-complex64-backend workaround (reference_import.substitute_real_ide)
+  must swap in a function producing the reference's own IDE values.
+
+  On CPU the reference's complex-power IDE executes, so compare its output
+  (captured BEFORE patching) against the patched module attribute at the
+  refnerf production deg_view=5, then restore the original.
+  """
+  import math as _math
+  from multinerf_tpu import reference_import
+  had = hasattr(np, 'math')
+  if not had:
+    np.math = _math
+  reference_import.import_reference()
+  import internal.ref_utils as ref_refutils_mod
+  original = ref_refutils_mod.generate_ide_fn
+  try:
+    xyz = RNG.randn(32, 3).astype(np.float32)
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True)
+    kappa_inv = (RNG.rand(32, 1) * 0.3).astype(np.float32)
+    want = original(5)(jnp.array(xyz), jnp.array(kappa_inv))
+    reference_import.substitute_real_ide()
+    assert ref_refutils_mod.generate_ide_fn is not original
+    got = ref_refutils_mod.generate_ide_fn(5)(jnp.array(xyz),
+                                              jnp.array(kappa_inv))
+    np.testing.assert_allclose(np.array(got), np.array(want), atol=2e-5)
+  finally:
+    ref_refutils_mod.generate_ide_fn = original
+    if not had:
+      del np.math
