@@ -216,12 +216,11 @@ def build_arch(arch, gin_overrides=()):
         'NerfMLP.bottleneck_width = 128',
         'NerfMLP.density_bias = 0.5',
     ]
-    config_kwargs = dict(
-        near=2.0, far=6.0, data_loss_type='mse', distortion_loss_mult=0.0,
-        orientation_loss_mult=0.1, orientation_loss_target='normals_pred',
-        predicted_normal_loss_mult=3e-4, orientation_coarse_loss_mult=0.01,
-        predicted_normal_coarse_loss_mult=3e-5, interlevel_loss_mult=0.0,
-        data_coarse_loss_mult=0.1, adam_eps=1e-8)
+    # Loss surface single-sourced with the reference arm + head_to_head
+    # (reference_import.REFNERF_LOSS_KW).
+    from multinerf_tpu.reference_import import REFNERF_LOSS_KW
+    config_kwargs = dict(near=2.0, far=6.0, data_loss_type='mse',
+                         **REFNERF_LOSS_KW)
     exposure = False
   elif arch == 'raw':
     bindings = common + [
@@ -235,11 +234,8 @@ def build_arch(arch, gin_overrides=()):
         'NerfMLP.density_noise = 1.',
         'NerfMLP.weight_init = "glorot_uniform"',
     ]
-    config_kwargs = dict(
-        near=0.0, far=1.0, rawnerf_mode=True, data_loss_type='rawnerf',
-        apply_bayer_mask=True, interlevel_loss_mult=0.0,
-        distortion_loss_mult=0.01, data_coarse_loss_mult=0.1,
-        grad_max_norm=0.1, grad_max_val=0.1, adam_eps=1e-8)
+    from multinerf_tpu.reference_import import RAW_LOSS_KW
+    config_kwargs = dict(near=0.0, far=1.0, **RAW_LOSS_KW)
     exposure = True
   else:
     raise ValueError(f'unknown arch {arch!r}')

@@ -133,15 +133,17 @@ def create_device_train_step(model, config, plane: DeviceDataPlane, mesh):
   from multinerf_tpu import train_lib
   from multinerf_tpu.parallel import mesh as mesh_lib
 
-  base_step = train_lib.create_train_step(model, config, mesh, jit=False)
+  base_step = train_lib.create_train_step(model, config, mesh, jit=False,
+                                          stats_arg=True)
 
-  def step(rng, state, train_frac, loss_threshold):
+  def step(rng, state, train_frac, loss_threshold, compute_stats):
     rng, key = jax.random.split(rng)
     batch = plane.sample_batch(key)
-    return base_step(rng, state, batch, train_frac, loss_threshold)
+    return base_step(rng, state, batch, train_frac, loss_threshold,
+                     compute_stats)
 
   repl = mesh_lib.replicated(mesh)
-  return jax.jit(step, in_shardings=(repl, None, None, None),
+  return jax.jit(step, in_shardings=(repl, None, None, None, None),
                  donate_argnums=(0, 1))
 
 
@@ -193,8 +195,11 @@ def create_scan_train_step(model, config, plane: DeviceDataPlane, mesh,
       # Whole-tree statistics (grad/weight/update norms) only on the steps
       # whose values the TB contract actually logs (train.py print cadence);
       # the lax.cond inside the step skips ~3 ms of HBM passes elsewhere.
-      compute_stats = jnp.logical_or(step_i % config.print_every == 0,
-                                     step_i == 1)
+      # Also on each window's FIRST step (i == 0) so a resume-misaligned
+      # flush window always contains at least one computed row — train.py's
+      # decimation mask marks the same rows.
+      compute_stats = ((step_i % config.print_every == 0) |
+                       (step_i == 1) | (i == 0))
       if cull:
         branch = jnp.where(step_i > config.occupancy_warmup_steps,
                            cull_idx, 0)

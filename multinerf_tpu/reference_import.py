@@ -21,6 +21,54 @@ from typing import Any
 
 REFERENCE_PATH = os.environ.get('MULTINERF_REFERENCE', '/root/reference')
 
+# ---------------------------------------------------------------------------
+# The blender_refnerf.gin / llff_raw.gin A/B surfaces, SINGLE-SOURCED.
+# These dicts mirror the reference gin files' bindings (our checked-in
+# configs/blender_refnerf.gin and configs/llff_raw.gin are binding-identical
+# to the reference's); every ours-vs-reference arch harness (bench.py
+# build_arch, scripts/head_to_head.py, build_reference_arch_step below)
+# must read THESE so the two sides cannot drift apart independently.
+# `rgb_activation` for the raw arch is filled in per-stack (each side's own
+# safe_exp) and therefore lives outside the shared dict.
+# ---------------------------------------------------------------------------
+
+REFNERF_NERF_KW = dict(
+    net_depth=8, net_width=256, net_depth_viewdirs=8,
+    basis_shape='octahedron', basis_subdivisions=1,
+    disable_density_normals=False, enable_pred_normals=True,
+    use_directional_enc=True, use_reflections=True, deg_view=5,
+    enable_pred_roughness=True, use_diffuse_color=True,
+    use_specular_tint=True, use_n_dot_v=True, bottleneck_width=128,
+    density_bias=0.5, max_deg_point=16)
+REFNERF_MODEL_KW = dict(
+    num_levels=2, single_mlp=True, num_prop_samples=128,
+    num_nerf_samples=128, anneal_slope=0.0, dilation_multiplier=0.0,
+    dilation_bias=0.0, single_jitter=False, resample_padding=0.01)
+# Loss/optimizer Config fields shared verbatim by both stacks' builders.
+REFNERF_LOSS_KW = dict(
+    distortion_loss_mult=0.0, orientation_loss_mult=0.1,
+    orientation_loss_target='normals_pred',
+    predicted_normal_loss_mult=3e-4, orientation_coarse_loss_mult=0.01,
+    predicted_normal_coarse_loss_mult=3e-5, interlevel_loss_mult=0.0,
+    data_coarse_loss_mult=0.1, adam_eps=1e-8)
+
+RAW_NERF_KW = dict(
+    net_depth=8, net_width=256, basis_shape='octahedron',
+    basis_subdivisions=1, disable_density_normals=True,
+    max_deg_point=16, rgb_padding=0.0, rgb_bias=-5.0, density_noise=1.0,
+    weight_init='glorot_uniform')
+RAW_MODEL_KW = dict(
+    num_levels=2, single_mlp=True, num_prop_samples=128,
+    num_nerf_samples=128, opaque_background=True,
+    learned_exposure_scaling=True, ray_shape='cylinder',
+    anneal_slope=0.0, dilation_multiplier=0.0, dilation_bias=0.0,
+    single_jitter=False)
+RAW_LOSS_KW = dict(
+    rawnerf_mode=True, data_loss_type='rawnerf', apply_bayer_mask=True,
+    interlevel_loss_mult=0.0, distortion_loss_mult=0.01,
+    data_coarse_loss_mult=0.1, grad_max_norm=0.1, grad_max_val=0.1,
+    adam_eps=1e-8)
+
 
 def reference_available() -> bool:
   return os.path.isdir(os.path.join(REFERENCE_PATH, 'internal'))
@@ -239,43 +287,16 @@ def build_reference_arch_step(arch: str, batch_size: int, seed: int = 0):
     substitute_real_ide()  # No complex64 on the TPU backend (see helper).
 
   if arch == 'refnerf':
-    nerf_kw = dict(
-        net_depth=8, net_width=256, net_depth_viewdirs=8,
-        basis_shape='octahedron', basis_subdivisions=1,
-        disable_density_normals=False, enable_pred_normals=True,
-        use_directional_enc=True, use_reflections=True, deg_view=5,
-        enable_pred_roughness=True, use_diffuse_color=True,
-        use_specular_tint=True, use_n_dot_v=True, bottleneck_width=128,
-        density_bias=0.5, max_deg_point=16)
-    config_kw = dict(
-        near=2.0, far=6.0, batch_size=batch_size, data_loss_type='mse',
-        distortion_loss_mult=0.0, orientation_loss_mult=0.1,
-        orientation_loss_target='normals_pred',
-        predicted_normal_loss_mult=3e-4, orientation_coarse_loss_mult=0.01,
-        predicted_normal_coarse_loss_mult=3e-5, interlevel_loss_mult=0.0,
-        data_coarse_loss_mult=0.1, adam_eps=1e-8)
-    model_kw = dict(num_levels=2, single_mlp=True, num_prop_samples=128,
-                    num_nerf_samples=128, anneal_slope=0.0,
-                    dilation_multiplier=0.0, dilation_bias=0.0,
-                    single_jitter=False, resample_padding=0.01)
+    nerf_kw = dict(REFNERF_NERF_KW)
+    config_kw = dict(near=2.0, far=6.0, batch_size=batch_size,
+                     data_loss_type='mse', **REFNERF_LOSS_KW)
+    model_kw = dict(REFNERF_MODEL_KW)
     exposure = False
   elif arch == 'raw':
-    nerf_kw = dict(
-        net_depth=8, net_width=256, basis_shape='octahedron',
-        basis_subdivisions=1, disable_density_normals=True,
-        max_deg_point=16, rgb_padding=0.0, rgb_activation=ref.math.safe_exp,
-        rgb_bias=-5.0, density_noise=1.0, weight_init='glorot_uniform')
-    config_kw = dict(
-        near=0.0, far=1.0, batch_size=batch_size, rawnerf_mode=True,
-        data_loss_type='rawnerf', apply_bayer_mask=True,
-        interlevel_loss_mult=0.0, distortion_loss_mult=0.01,
-        data_coarse_loss_mult=0.1, grad_max_norm=0.1, grad_max_val=0.1,
-        adam_eps=1e-8)
-    model_kw = dict(num_levels=2, single_mlp=True, num_prop_samples=128,
-                    num_nerf_samples=128, opaque_background=True,
-                    learned_exposure_scaling=True, ray_shape='cylinder',
-                    anneal_slope=0.0, dilation_multiplier=0.0,
-                    dilation_bias=0.0, single_jitter=False)
+    nerf_kw = dict(RAW_NERF_KW, rgb_activation=ref.math.safe_exp)
+    config_kw = dict(near=0.0, far=1.0, batch_size=batch_size,
+                     **RAW_LOSS_KW)
+    model_kw = dict(RAW_MODEL_KW)
     exposure = True
   else:
     raise ValueError(f'unknown arch {arch!r}')

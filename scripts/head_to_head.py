@@ -50,6 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from multinerf_tpu.utils import cache as _cache
+from multinerf_tpu import reference_import as _ref_import
 _cache.enable_persistent_compilation_cache()
 
 ARCHS = {
@@ -92,14 +93,9 @@ ARCHS = {
         batch_size=2048,
         lr=dict(lr_init=2e-3, lr_final=2e-5, lr_delay_steps=512,
                 lr_delay_mult=0.01),
-        config_extras=dict(
-            distortion_loss_mult=0.0, orientation_loss_mult=0.1,
-            orientation_loss_target='normals_pred',
-            predicted_normal_loss_mult=3e-4,
-            orientation_coarse_loss_mult=0.01,
-            predicted_normal_coarse_loss_mult=3e-5,
-            interlevel_loss_mult=0.0, data_coarse_loss_mult=0.1,
-            adam_eps=1e-8)),
+        # Loss/optimizer surface single-sourced with the reference arm and
+        # bench.py (reference_import.REFNERF_LOSS_KW).
+        config_extras=dict(_ref_import.REFNERF_LOSS_KW)),
 }
 
 REFNERF_MLP_BINDINGS = [
@@ -134,21 +130,12 @@ REFNERF_MODEL_BINDINGS = [
     'Model.resample_padding = 0.01',
 ]
 
-# The same surface as reference-model constructor kwargs (the reference is
-# configured through gin in production; these ARE blender_refnerf.gin's
-# bindings, applied programmatically like reference train.py would).
-REFNERF_REF_NERF_KW = dict(
-    net_depth=8, net_width=256, net_depth_viewdirs=8,
-    basis_shape='octahedron', basis_subdivisions=1,
-    disable_density_normals=False, enable_pred_normals=True,
-    use_directional_enc=True, use_reflections=True, deg_view=5,
-    enable_pred_roughness=True, use_diffuse_color=True,
-    use_specular_tint=True, use_n_dot_v=True, bottleneck_width=128,
-    density_bias=0.5, max_deg_point=16)
-REFNERF_REF_MODEL_KW = dict(
-    num_levels=2, single_mlp=True, num_prop_samples=128,
-    num_nerf_samples=128, anneal_slope=0.0, dilation_multiplier=0.0,
-    dilation_bias=0.0, single_jitter=False, resample_padding=0.01)
+# The same surface as reference-model constructor kwargs — single-sourced
+# in reference_import (the reference is configured through gin in
+# production; those dicts ARE blender_refnerf.gin's bindings, applied
+# programmatically like reference train.py would).
+REFNERF_REF_NERF_KW = _ref_import.REFNERF_NERF_KW
+REFNERF_REF_MODEL_KW = _ref_import.REFNERF_MODEL_KW
 
 
 def build_ours(arch, loader, max_steps):
@@ -445,6 +432,7 @@ def main():
                  'contract')},
       'batch_size': arch['batch_size'],
       'steps': args.steps,
+      'seed': args.seed,
       'identical_init': True,
       'identical_batches': True,
       'own_render_paths': True,
@@ -463,6 +451,8 @@ def main():
           history[-1][f'ours_{tag}'] - history[-1][f'ref_{tag}'], 3)
   os.makedirs(args.out, exist_ok=True)
   suffix = '' if args.arch == 'debug' else f'_{args.arch}_{loader}'.upper()
+  if args.seed:
+    suffix += f'_SEED{args.seed}'  # Never clobber the seed-0 artifact.
   out_path = os.path.join(args.out, f'HEAD_TO_HEAD{suffix}.json')
   with open(out_path, 'w') as f:
     json.dump(result, f, indent=2)

@@ -87,8 +87,8 @@ def main():
   overrides = {}
   if args.cull:
     overrides = {'occupancy_culling': True, 'occupancy_capacity_frac': 0.33}
-  state, step_fn, batch, render_ctx = bench.build(overrides, BF16,
-                                                  cull=args.cull)
+  state, step_fn, batch, render_ctx, _ = bench.build(
+      overrides, BF16, cull=args.cull)
 
   os.makedirs(args.out, exist_ok=True)
   if args.render:
@@ -105,12 +105,12 @@ def main():
   else:
     rng = jax.random.PRNGKey(1)
     for _ in range(3):  # Compile + warm.
-      state, stats, rng = step_fn(rng, state, batch, 0.5, 1.0)
+      state, stats, rng = step_fn(rng, state, batch, 0.5, 1.0, False)
     float(stats['loss'])
 
     with jax.profiler.trace(args.out):
       for _ in range(args.steps):
-        state, stats, rng = step_fn(rng, state, batch, 0.5, 1.0)
+        state, stats, rng = step_fn(rng, state, batch, 0.5, 1.0, False)
       float(stats['loss'])
 
   paths = sorted(glob.glob(args.out + '/**/*.xplane.pb', recursive=True),

@@ -106,7 +106,7 @@ def main():
 
   DTYPE = [f'NerfMLP.trunk_dtype = "{args.trunk_dtype}"',
            f'PropMLP.trunk_dtype = "{args.trunk_dtype}"']
-  state, _, _, (render_pfn, config, mesh) = bench.build({}, DTYPE)
+  state, _, _, (render_pfn, config, mesh), _ = bench.build({}, DTYPE)
   renderer = models.ImageRenderer(render_pfn, config, mesh=mesh)
 
   results = {}

@@ -21,11 +21,11 @@ BF16 = ['NerfMLP.trunk_dtype = "bfloat16"',
 
 def main():
   tile = os.environ.get('MULTINERF_PALLAS_TILE', 'default')
-  state_c, step_c, batch_c, _ = bench.build(
+  state_c, step_c, batch_c, _, _ = bench.build(
       {'occupancy_culling': True, 'occupancy_capacity_frac': 0.33},
       BF16, cull=True)
   culled = bench.time_variant(state_c, step_c, batch_c)
-  state, step_fn, batch, _ = bench.build({}, BF16)
+  state, step_fn, batch, _, _ = bench.build({}, BF16)
   uncull = bench.time_variant(state, step_fn, batch)
   print(json.dumps({'tile': tile,
                     'uncull_rays_per_sec': round(uncull, 1),

@@ -102,7 +102,8 @@ def test_training_with_device_plane_decreases_loss():
   state = jax.device_put(state, mesh_lib.replicated(mesh))
   losses = []
   for step in range(1, 41):
-    state, stats, rng = step_fn(rng, state, (step - 1) / 39, 1.0)
+    state, stats, rng = step_fn(rng, state, (step - 1) / 39, 1.0,
+                                step % 10 == 0)
     losses.append(float(stats['loss']))
   assert np.isfinite(losses).all()
   assert np.mean(losses[-8:]) < 0.8 * np.mean(losses[:4]), losses

@@ -292,7 +292,7 @@ def main(unused_argv):
           rng, state, step0, loss_threshold, cull_idx)
     else:
       state, stats, rng = train_pstep_device(rng, state, train_frac,
-                                             loss_threshold)
+                                             loss_threshold, will_print)
     if config.enable_robustnerf_loss and scan_steps == 1:
       loss_threshold = stats['loss_threshold']
 
@@ -344,8 +344,13 @@ def main(unused_argv):
         n_rows = next(iter(stats_stacked.values())).shape[0]
         buf_steps = np.arange(step - n_rows + 1, step + 1)
         stats_mask = (buf_steps % config.print_every == 0) | (buf_steps == 1)
-        if not stats_mask.any():
-          stats_mask[-1] = True  # Resume-misaligned first window.
+        if scan_steps > 1:
+          # The scan body also computes stats on each window's first inner
+          # step, guaranteeing a real row even when a resume start is
+          # misaligned with the print cadence.
+          stats_mask[0::scan_steps] = True
+        elif not stats_mask.any():
+          stats_mask[-1] = True  # step0 == init_step forced computation.
         for k in list(stats_stacked):
           if k.startswith(tree_stat_prefixes):
             stats_stacked[k] = stats_stacked[k][stats_mask]
